@@ -1,0 +1,495 @@
+"""Rational Polynomial Camera (RPC) model as a JAX pytree.
+
+This module internalizes the role played in the reference by the `rpcm`
+package plus the native RPC kernel (reference: c/rpc.h:14-32, c/rpc.c:279-452
+and bundle_adjust/ba_rpcfit.py:17-44 for the polynomial term ordering).
+
+Design notes (TPU-first):
+
+* An `RPCModel` is a NamedTuple of arrays, hence a pytree: models can be
+  stacked with `jax.tree.map(lambda *a: jnp.stack(a), *rpcs)` and every
+  operation is batched/vmappable over arbitrary leading dimensions.
+* `projection` evaluates the four 20-term degree-3 polynomials as a single
+  (..., 20) x (20,) contraction — XLA fuses the monomial basis construction
+  into the reduction; for large batches it maps onto the MXU via
+  `basis @ coeffs.T`.
+* `localization` replaces the reference's per-point secant iteration
+  (c/rpc.c:378-411 `eval_nrpc_iterative`, converging to 1e-18) by a batched
+  Newton iteration on the forward rational model with an analytic 2x2
+  Jacobian and a *fixed* iteration count, which is XLA-friendly (static
+  control flow) and converges quadratically to the same fixed point.
+
+The 20 monomial terms follow the RPC00B convention used by rpcm
+(ba_rpcfit.poly_vect, reference: bundle_adjust/ba_rpcfit.py:17-44):
+
+    1, L, P, H, LP, LH, PH, L^2, P^2, H^2,
+    LPH, L^3, LP^2, LH^2, L^2P, P^3, PH^2, L^2H, P^2H, H^3
+
+with L = normalized longitude, P = normalized latitude, H = normalized
+altitude. Inside image space, `col` is governed by (samp_num, samp_den) and
+`row` by (line_num, line_den).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+N_COEFFS = 20
+NEWTON_ITERS = 15  # fixed Newton iteration count for localization
+
+
+class RPCModel(NamedTuple):
+    """RPC camera model. All fields are arrays; leading dims broadcast."""
+
+    line_num: jnp.ndarray  # (..., 20) row (line) numerator
+    line_den: jnp.ndarray  # (..., 20)
+    samp_num: jnp.ndarray  # (..., 20) col (sample) numerator
+    samp_den: jnp.ndarray  # (..., 20)
+    row_offset: jnp.ndarray  # (...,)
+    col_offset: jnp.ndarray
+    lat_offset: jnp.ndarray
+    lon_offset: jnp.ndarray
+    alt_offset: jnp.ndarray
+    row_scale: jnp.ndarray
+    col_scale: jnp.ndarray
+    lat_scale: jnp.ndarray
+    lon_scale: jnp.ndarray
+    alt_scale: jnp.ndarray
+
+    # ------------------------------------------------------------------
+    # core evaluation
+    # ------------------------------------------------------------------
+
+    def projection(self, lon, lat, alt):
+        """Ground (lon, lat, alt) -> image (col, row). Batched."""
+        return rpc_projection(self, lon, lat, alt)
+
+    def localization(self, col, row, alt):
+        """Image (col, row) at altitude alt -> ground (lon, lat). Batched."""
+        return rpc_localization(self, col, row, alt)
+
+    # ------------------------------------------------------------------
+    # IO / conversion helpers (host-side)
+    # ------------------------------------------------------------------
+
+    def to_numpy(self) -> "RPCModel":
+        return RPCModel(*[np.asarray(f) for f in self])
+
+    def copy(self) -> "RPCModel":
+        return RPCModel(*[np.array(np.asarray(f)) for f in self])
+
+    def write_to_file(self, path):
+        write_rpc_file(self, path)
+
+    def to_geotiff_dict(self):
+        return rpc_to_geotiff_dict(self)
+
+    def __deepcopy__(self, memo):
+        return self.copy()
+
+
+# ----------------------------------------------------------------------
+# polynomial evaluation
+# ----------------------------------------------------------------------
+
+
+def poly20_basis(x, y, z):
+    """Monomial basis of the degree-3 RPC polynomial, shape (..., 20).
+
+    Arguments follow the rpcm apply_poly convention: x = normalized lat,
+    y = normalized lon, z = normalized alt (ba_rpcfit.py:17-44).
+    """
+    one = jnp.ones_like(x)
+    return jnp.stack(
+        [
+            one,
+            y,
+            x,
+            z,
+            y * x,
+            y * z,
+            x * z,
+            y * y,
+            x * x,
+            z * z,
+            x * y * z,
+            y * y * y,
+            y * x * x,
+            y * z * z,
+            y * y * x,
+            x * x * x,
+            x * z * z,
+            y * y * z,
+            x * x * z,
+            z * z * z,
+        ],
+        axis=-1,
+    )
+
+
+def poly20_basis_dx(x, y, z):
+    """d(basis)/dx (x = normalized lat)."""
+    zero = jnp.zeros_like(x)
+    one = jnp.ones_like(x)
+    return jnp.stack(
+        [
+            zero,
+            zero,
+            one,
+            zero,
+            y,
+            zero,
+            z,
+            zero,
+            2 * x,
+            zero,
+            y * z,
+            zero,
+            2 * x * y,
+            zero,
+            y * y,
+            3 * x * x,
+            z * z,
+            zero,
+            2 * x * z,
+            zero,
+        ],
+        axis=-1,
+    )
+
+
+def poly20_basis_dy(x, y, z):
+    """d(basis)/dy (y = normalized lon)."""
+    zero = jnp.zeros_like(x)
+    one = jnp.ones_like(x)
+    return jnp.stack(
+        [
+            zero,
+            one,
+            zero,
+            zero,
+            x,
+            z,
+            zero,
+            2 * y,
+            zero,
+            zero,
+            x * z,
+            3 * y * y,
+            x * x,
+            z * z,
+            2 * y * x,
+            zero,
+            zero,
+            2 * y * z,
+            zero,
+            zero,
+        ],
+        axis=-1,
+    )
+
+
+def apply_poly(coeffs, x, y, z):
+    """Evaluate a 20-term polynomial. coeffs (..., 20) against points (...,)."""
+    return jnp.sum(poly20_basis(x, y, z) * coeffs, axis=-1)
+
+
+def apply_rfm(num, den, x, y, z):
+    return apply_poly(num, x, y, z) / apply_poly(den, x, y, z)
+
+
+# ----------------------------------------------------------------------
+# projection / localization
+# ----------------------------------------------------------------------
+
+
+def rpc_projection(rpc: RPCModel, lon, lat, alt):
+    """Ground -> image. Equivalent of rpcm RPCModel.projection (and of the
+    inverse model eval in c/rpc.c:442-452)."""
+    nlon = (lon - rpc.lon_offset) / rpc.lon_scale
+    nlat = (lat - rpc.lat_offset) / rpc.lat_scale
+    nalt = (alt - rpc.alt_offset) / rpc.alt_scale
+    col = apply_rfm(rpc.samp_num, rpc.samp_den, nlat, nlon, nalt)
+    row = apply_rfm(rpc.line_num, rpc.line_den, nlat, nlon, nalt)
+    return col * rpc.col_scale + rpc.col_offset, row * rpc.row_scale + rpc.row_offset
+
+
+def _normalized_forward(rpc: RPCModel, nlon, nlat, nalt):
+    """Normalized (lon, lat, alt) -> normalized (col, row) and the 2x2
+    Jacobian d(col,row)/d(lon,lat), all analytic (quotient rule)."""
+    b = poly20_basis(nlat, nlon, nalt)
+    b_dlat = poly20_basis_dx(nlat, nlon, nalt)
+    b_dlon = poly20_basis_dy(nlat, nlon, nalt)
+
+    def rational(num, den):
+        p = jnp.sum(b * num, axis=-1)
+        q = jnp.sum(b * den, axis=-1)
+        p_dlat = jnp.sum(b_dlat * num, axis=-1)
+        q_dlat = jnp.sum(b_dlat * den, axis=-1)
+        p_dlon = jnp.sum(b_dlon * num, axis=-1)
+        q_dlon = jnp.sum(b_dlon * den, axis=-1)
+        v = p / q
+        v_dlat = (p_dlat - v * q_dlat) / q
+        v_dlon = (p_dlon - v * q_dlon) / q
+        return v, v_dlon, v_dlat
+
+    col, col_dlon, col_dlat = rational(rpc.samp_num, rpc.samp_den)
+    row, row_dlon, row_dlat = rational(rpc.line_num, rpc.line_den)
+    return col, row, col_dlon, col_dlat, row_dlon, row_dlat
+
+
+def rpc_localization(rpc: RPCModel, col, row, alt, n_iters: int = NEWTON_ITERS):
+    """Image -> ground by Newton iteration on the forward rational model.
+
+    Replaces the per-point secant loop of the reference
+    (c/rpc.c:378-411, rpcm localization_iterative): same fixed point,
+    but a batched fixed-count Newton solve with the exact 2x2 Jacobian.
+    """
+    tcol = (col - rpc.col_offset) / rpc.col_scale
+    trow = (row - rpc.row_offset) / rpc.row_scale
+    nalt = (alt - rpc.alt_offset) / rpc.alt_scale
+
+    def body(_, state):
+        nlon, nlat = state
+        c, r, c_dlon, c_dlat, r_dlon, r_dlat = _normalized_forward(rpc, nlon, nlat, nalt)
+        fx = c - tcol
+        fy = r - trow
+        det = c_dlon * r_dlat - c_dlat * r_dlon
+        # guard against singular Jacobians on padded/degenerate inputs
+        safe = jnp.where(jnp.abs(det) < 1e-30, 1.0, det)
+        dlon = (r_dlat * fx - c_dlat * fy) / safe
+        dlat = (-r_dlon * fx + c_dlon * fy) / safe
+        return nlon - dlon, nlat - dlat
+
+    nlon0 = jnp.zeros_like(tcol)
+    nlat0 = jnp.zeros_like(trow)
+    nlon, nlat = jax.lax.fori_loop(0, n_iters, body, (nlon0, nlat0))
+    return nlon * rpc.lon_scale + rpc.lon_offset, nlat * rpc.lat_scale + rpc.lat_offset
+
+
+# ----------------------------------------------------------------------
+# batching helpers
+# ----------------------------------------------------------------------
+
+
+def stack_rpcs(rpcs) -> RPCModel:
+    """Stack a list of RPCModel into one batched RPCModel (leading dim M)."""
+    return jax.tree.map(lambda *leaves: jnp.stack([jnp.asarray(l) for l in leaves]), *rpcs)
+
+
+def index_rpc(batched: RPCModel, i) -> RPCModel:
+    return jax.tree.map(lambda leaf: leaf[i], batched)
+
+
+# ----------------------------------------------------------------------
+# construction and file IO (host-side, numpy)
+# ----------------------------------------------------------------------
+
+_IKONOS_SCALAR_KEYS = {
+    "LINE_OFF": "row_offset",
+    "SAMP_OFF": "col_offset",
+    "LAT_OFF": "lat_offset",
+    "LONG_OFF": "lon_offset",
+    "HEIGHT_OFF": "alt_offset",
+    "LINE_SCALE": "row_scale",
+    "SAMP_SCALE": "col_scale",
+    "LAT_SCALE": "lat_scale",
+    "LONG_SCALE": "lon_scale",
+    "HEIGHT_SCALE": "alt_scale",
+}
+
+_COEFF_PREFIXES = {
+    "LINE_NUM_COEFF": "line_num",
+    "LINE_DEN_COEFF": "line_den",
+    "SAMP_NUM_COEFF": "samp_num",
+    "SAMP_DEN_COEFF": "samp_den",
+}
+
+
+def rpc_from_dict(d) -> RPCModel:
+    """Build an RPCModel from a dict of python floats/lists (keys = field names)."""
+    def arr20(v):
+        a = np.asarray(v, dtype=np.float64)
+        assert a.shape[-1] == N_COEFFS, a.shape
+        return a
+
+    return RPCModel(
+        line_num=arr20(d["line_num"]),
+        line_den=arr20(d["line_den"]),
+        samp_num=arr20(d["samp_num"]),
+        samp_den=arr20(d["samp_den"]),
+        row_offset=np.float64(d["row_offset"]),
+        col_offset=np.float64(d["col_offset"]),
+        lat_offset=np.float64(d["lat_offset"]),
+        lon_offset=np.float64(d["lon_offset"]),
+        alt_offset=np.float64(d["alt_offset"]),
+        row_scale=np.float64(d["row_scale"]),
+        col_scale=np.float64(d["col_scale"]),
+        lat_scale=np.float64(d["lat_scale"]),
+        lon_scale=np.float64(d["lon_scale"]),
+        alt_scale=np.float64(d["alt_scale"]),
+    )
+
+
+def rpc_to_dict(rpc: RPCModel) -> dict:
+    r = rpc.to_numpy()
+    return {
+        "line_num": r.line_num.tolist(),
+        "line_den": r.line_den.tolist(),
+        "samp_num": r.samp_num.tolist(),
+        "samp_den": r.samp_den.tolist(),
+        "row_offset": float(r.row_offset),
+        "col_offset": float(r.col_offset),
+        "lat_offset": float(r.lat_offset),
+        "lon_offset": float(r.lon_offset),
+        "alt_offset": float(r.alt_offset),
+        "row_scale": float(r.row_scale),
+        "col_scale": float(r.col_scale),
+        "lat_scale": float(r.lat_scale),
+        "lon_scale": float(r.lon_scale),
+        "alt_scale": float(r.alt_scale),
+    }
+
+
+def rpc_from_rpc_file(path) -> RPCModel:
+    """Parse the IKONOS-style text format used by the reference test data
+    (`KEY: value [unit]` lines; see c/rpc.c:148-165 and rpcm)."""
+    scalars = {}
+    coeffs = {v: np.zeros(N_COEFFS) for v in _COEFF_PREFIXES.values()}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or ":" not in line:
+                continue
+            key, _, rest = line.partition(":")
+            key = key.strip()
+            value = rest.strip().split()[0]
+            matched = False
+            for prefix, field in _COEFF_PREFIXES.items():
+                if key.startswith(prefix):
+                    idx = int(key[len(prefix):].lstrip("_")) - 1
+                    coeffs[field][idx] = float(value)
+                    matched = True
+                    break
+            if not matched and key in _IKONOS_SCALAR_KEYS:
+                scalars[_IKONOS_SCALAR_KEYS[key]] = float(value)
+    d = dict(scalars)
+    d.update({k: v for k, v in coeffs.items()})
+    return rpc_from_dict(d)
+
+
+def write_rpc_file(rpc: RPCModel, path):
+    """Write the IKONOS-style text format (matches rpcm write_to_file, the
+    format of the reference golden files tests/data/outdir/.../*.rpc_adj)."""
+    r = rpc.to_numpy()
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    lines = [
+        "LINE_OFF: {:.12f} pixels".format(float(r.row_offset)),
+        "SAMP_OFF: {:.12f} pixels".format(float(r.col_offset)),
+        "LAT_OFF: {:.12f} degrees".format(float(r.lat_offset)),
+        "LONG_OFF: {:.12f} degrees".format(float(r.lon_offset)),
+        "HEIGHT_OFF: {:.12f} meters".format(float(r.alt_offset)),
+        "LINE_SCALE: {:.12f} pixels".format(float(r.row_scale)),
+        "SAMP_SCALE: {:.12f} pixels".format(float(r.col_scale)),
+        "LAT_SCALE: {:.12f} degrees".format(float(r.lat_scale)),
+        "LONG_SCALE: {:.12f} degrees".format(float(r.lon_scale)),
+        "HEIGHT_SCALE: {:.12f} meters".format(float(r.alt_scale)),
+    ]
+    for prefix, field in _COEFF_PREFIXES.items():
+        vals = getattr(r, field)
+        for i in range(N_COEFFS):
+            lines.append("{}_{}: {:.12f}".format(prefix, i + 1, float(vals[i])))
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def rpc_from_json_file(path) -> RPCModel:
+    with open(path) as f:
+        d = json.load(f)
+    # accept both our field names and the rpcm json naming
+    if "line_num" in d:
+        return rpc_from_dict(d)
+    remap = {
+        "row_num": "line_num",
+        "row_den": "line_den",
+        "col_num": "samp_num",
+        "col_den": "samp_den",
+    }
+    out = {}
+    for k, v in d.items():
+        out[remap.get(k, k)] = v
+    return rpc_from_dict(out)
+
+
+def write_rpc_json(rpc: RPCModel, path):
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(rpc_to_dict(rpc), f, indent=2)
+
+
+def rpc_from_geotiff_dict(tags) -> RPCModel:
+    """Build an RPCModel from GDAL-style geotiff RPC tags
+    (reference: bundle_adjust/ba_utils.py:14-39 for the tag mapping)."""
+    def coeflist(key):
+        v = tags[key]
+        if isinstance(v, str):
+            return [float(x) for x in v.split()]
+        return [float(x) for x in v]
+
+    return rpc_from_dict(
+        {
+            "line_num": coeflist("LINE_NUM_COEFF"),
+            "line_den": coeflist("LINE_DEN_COEFF"),
+            "samp_num": coeflist("SAMP_NUM_COEFF"),
+            "samp_den": coeflist("SAMP_DEN_COEFF"),
+            "row_offset": float(tags["LINE_OFF"]),
+            "col_offset": float(tags["SAMP_OFF"]),
+            "lat_offset": float(tags["LAT_OFF"]),
+            "lon_offset": float(tags["LONG_OFF"]),
+            "alt_offset": float(tags["HEIGHT_OFF"]),
+            "row_scale": float(tags["LINE_SCALE"]),
+            "col_scale": float(tags["SAMP_SCALE"]),
+            "lat_scale": float(tags["LAT_SCALE"]),
+            "lon_scale": float(tags["LONG_SCALE"]),
+            "alt_scale": float(tags["HEIGHT_SCALE"]),
+        }
+    )
+
+
+def rpc_to_geotiff_dict(rpc: RPCModel) -> dict:
+    r = rpc.to_numpy()
+    fmt = lambda a: " ".join("{:.12g}".format(float(x)) for x in a)
+    return {
+        "LINE_OFF": "{:.12g}".format(float(r.row_offset)),
+        "SAMP_OFF": "{:.12g}".format(float(r.col_offset)),
+        "LAT_OFF": "{:.12g}".format(float(r.lat_offset)),
+        "LONG_OFF": "{:.12g}".format(float(r.lon_offset)),
+        "HEIGHT_OFF": "{:.12g}".format(float(r.alt_offset)),
+        "LINE_SCALE": "{:.12g}".format(float(r.row_scale)),
+        "SAMP_SCALE": "{:.12g}".format(float(r.col_scale)),
+        "LAT_SCALE": "{:.12g}".format(float(r.lat_scale)),
+        "LONG_SCALE": "{:.12g}".format(float(r.lon_scale)),
+        "HEIGHT_SCALE": "{:.12g}".format(float(r.alt_scale)),
+        "LINE_NUM_COEFF": fmt(r.line_num),
+        "LINE_DEN_COEFF": fmt(r.line_den),
+        "SAMP_NUM_COEFF": fmt(r.samp_num),
+        "SAMP_DEN_COEFF": fmt(r.samp_den),
+    }
+
+
+def scale_rpc(rpc: RPCModel, alpha: float) -> RPCModel:
+    """Scale an RPC to image coordinates multiplied by alpha
+    (reference: bundle_adjust/ba_utils.py:168-187 rescale_RPC)."""
+    r = rpc.to_numpy()
+    return r._replace(
+        row_offset=r.row_offset * alpha,
+        col_offset=r.col_offset * alpha,
+        row_scale=r.row_scale * alpha,
+        col_scale=r.col_scale * alpha,
+    )

@@ -1,0 +1,322 @@
+"""Levenberg-Marquardt with Schur-complement elimination of tie points.
+
+This is the TPU-native replacement of the reference's solver, which calls
+scipy.optimize.least_squares(method="trf", jac_sparsity=A) with *finite
+difference* Jacobians (reference: bundle_adjust/ba_core.py:244-332, sparsity
+pattern built at ba_core.py:186-219). Design changes, deliberate:
+
+* analytic/AD block Jacobians (2x P per camera, 2x3 per point) instead of
+  finite differencing — exact and one fused batched computation;
+* explicit LM with Marquardt diagonal scaling (the analog of scipy's
+  x_scale='jac') instead of TRF;
+* the camera-reduced normal system is formed by eliminating each 3x3
+  tie-point block (classic Schur trick: MegBA, PBA and other GPU BA systems
+  use the same structure) with two interchangeable backends:
+    - "dense": assemble the (P*M, P*M) reduced camera matrix with segment
+      sums over intra-track observation pairs and solve by Cholesky. Right
+      for M up to a few hundred cameras — it is a single MXU-friendly solve.
+    - "cg": matrix-free preconditioned conjugate gradient on the Schur
+      complement; every matvec is two gathers + two segment-sums, which is
+      exactly the form that shards over a device mesh with a single psum
+      (see sat_bundleadjust_tpu/parallel/dist_solver.py).
+
+All structural index sets (observation tables, intra-track pair lists) are
+precomputed host-side; device code has static shapes and no data-dependent
+control flow.
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sat_bundleadjust_tpu.ops.robust import loss_cost, loss_scale
+
+
+class LMProblem(NamedTuple):
+    """Static problem structure for one BA solve (all arrays device-ready)."""
+
+    pts_ind: jnp.ndarray  # (K,) int
+    cam_ind: jnp.ndarray  # (K,) int
+    pts2d: jnp.ndarray  # (K, 2)
+    weights: jnp.ndarray  # (K,)
+    cam_opt_mask: jnp.ndarray  # (M,) 1.0 where camera is optimized
+    pts_opt_mask: jnp.ndarray  # (N,) 1.0 where point is optimized
+    pair_k1: jnp.ndarray  # (Q,) obs-pair lists for dense Schur assembly
+    pair_k2: jnp.ndarray  # (Q,)
+
+
+class LMConfig(NamedTuple):
+    loss: str = "linear"
+    f_scale: float = 1.0
+    max_iter: int = 100
+    ftol: float = 1e-4
+    xtol: float = 1e-10
+    lambda0: float = 1e-3
+    lambda_up: float = 5.0
+    lambda_down: float = 3.0
+    schur_mode: str = "dense"  # "dense" | "cg"
+    cg_iters: int = 60
+
+
+def build_intra_track_pairs(pts_ind, n_pts):
+    """All ordered observation pairs (k1, k2) belonging to the same track.
+
+    These index the subtraction term of the Schur complement:
+        S[c(k1), c(k2)] -= Y_k1 @ W_k2^T
+    Host-side precompute; Q = sum over tracks of (track length)^2."""
+    pts_ind = np.asarray(pts_ind)
+    order = np.argsort(pts_ind, kind="stable")
+    sorted_pts = pts_ind[order]
+    starts = np.searchsorted(sorted_pts, np.arange(n_pts), side="left")
+    ends = np.searchsorted(sorted_pts, np.arange(n_pts), side="right")
+    k1, k2 = [], []
+    for s, e in zip(starts, ends):
+        idx = order[s:e]
+        if idx.size == 0:
+            continue
+        g1, g2 = np.meshgrid(idx, idx, indexing="ij")
+        k1.append(g1.reshape(-1))
+        k2.append(g2.reshape(-1))
+    if not k1:
+        return np.zeros(0, np.int32), np.zeros(0, np.int32)
+    return np.concatenate(k1).astype(np.int32), np.concatenate(k2).astype(np.int32)
+
+
+def _inv3x3(V):
+    """Batched closed-form 3x3 inverse (V assumed SPD after damping)."""
+    a, b, c = V[..., 0, 0], V[..., 0, 1], V[..., 0, 2]
+    d, e, f = V[..., 1, 0], V[..., 1, 1], V[..., 1, 2]
+    g, h, i = V[..., 2, 0], V[..., 2, 1], V[..., 2, 2]
+    A = e * i - f * h
+    B = c * h - b * i
+    C = b * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    H = b * g - a * h
+    I = a * e - b * d
+    det = a * A + b * D + c * G
+    det = jnp.where(jnp.abs(det) < 1e-30, 1.0, det)
+    inv = jnp.stack(
+        [
+            jnp.stack([A, B, C], axis=-1),
+            jnp.stack([D, E, F], axis=-1),
+            jnp.stack([G, H, I], axis=-1),
+        ],
+        axis=-2,
+    )
+    return inv / det[..., None, None]
+
+
+def _normal_blocks(r, J_cam, J_pt, prob: LMProblem, n_cam, n_pts, cfg: LMConfig):
+    """Build gradient and normal-equation blocks from per-obs residuals.
+
+    r: (K, 2); J_cam: (K, 2, P); J_pt: (K, 2, 3)."""
+    # robust IRLS scaling
+    s = loss_scale(cfg.loss, r, cfg.f_scale)  # (K, 2)
+    r = r * s
+    J_cam = J_cam * s[..., None]
+    J_pt = J_pt * s[..., None]
+
+    # mask frozen cameras / points (their Jacobian blocks vanish)
+    J_cam = J_cam * prob.cam_opt_mask[prob.cam_ind][:, None, None]
+    J_pt = J_pt * prob.pts_opt_mask[prob.pts_ind][:, None, None]
+
+    g_cam = jax.ops.segment_sum(
+        jnp.einsum("kri,kr->ki", J_cam, r), prob.cam_ind, num_segments=n_cam
+    )
+    g_pt = jax.ops.segment_sum(
+        jnp.einsum("kri,kr->ki", J_pt, r), prob.pts_ind, num_segments=n_pts
+    )
+    U = jax.ops.segment_sum(
+        jnp.einsum("kri,krj->kij", J_cam, J_cam), prob.cam_ind, num_segments=n_cam
+    )
+    V = jax.ops.segment_sum(
+        jnp.einsum("kri,krj->kij", J_pt, J_pt), prob.pts_ind, num_segments=n_pts
+    )
+    W = jnp.einsum("kri,krj->kij", J_cam, J_pt)  # (K, P, 3)
+    return r, g_cam, g_pt, U, V, W
+
+
+def _damp(M_blocks, lam, floor=1e-12):
+    """Marquardt multiplicative damping of block diagonals."""
+    diag = jnp.diagonal(M_blocks, axis1=-2, axis2=-1)
+    add = lam * jnp.maximum(diag, floor) + floor
+    return M_blocks + jnp.eye(M_blocks.shape[-1]) * add[..., None, :]
+
+
+def _schur_rhs(g_cam, g_pt, W, Vinv, prob, n_cam):
+    """b = -g_cam + W V^-1 g_pt (reduced right-hand side)."""
+    Yg = jnp.einsum("kij,kj->ki", W, jnp.einsum("nij,nj->ni", Vinv, g_pt)[prob.pts_ind])
+    return -g_cam + jax.ops.segment_sum(Yg, prob.cam_ind, num_segments=n_cam)
+
+
+def _dense_schur_solve(U_d, W, Vinv, b, prob: LMProblem, n_cam, cam_opt_mask):
+    """Assemble the dense reduced camera system and Cholesky-solve it."""
+    P = U_d.shape[-1]
+    Y = jnp.einsum("kij,njl->kil", W, Vinv[prob.pts_ind])  # wrong? see below
+    # Note: Vinv[prob.pts_ind] has shape (K, 3, 3); contract W (K,P,3) with it:
+    Y = jnp.einsum("kpj,kjl->kpl", W, Vinv[prob.pts_ind])  # (K, P, 3)
+    contrib = jnp.einsum("kpl,qml->kqpm", Y[prob.pair_k1], W[prob.pair_k2])
+    # contrib above is wrong shape-wise for segment_sum; compute directly:
+    contrib = jnp.einsum("qpl,qml->qpm", Y[prob.pair_k1], W[prob.pair_k2])  # (Q,P,P)
+    pair_seg = prob.cam_ind[prob.pair_k1] * n_cam + prob.cam_ind[prob.pair_k2]
+    S_off = jax.ops.segment_sum(contrib, pair_seg, num_segments=n_cam * n_cam)
+    S = -S_off.reshape(n_cam, n_cam, P, P)
+    S = S + jnp.zeros_like(S).at[jnp.arange(n_cam), jnp.arange(n_cam)].set(U_d)
+    S = S.transpose(0, 2, 1, 3).reshape(n_cam * P, n_cam * P)
+
+    # frozen cameras: identity rows/cols so the system stays SPD
+    m = jnp.repeat(cam_opt_mask, P)
+    S = S * m[:, None] * m[None, :] + jnp.diag(1.0 - m)
+    b = b.reshape(-1) * m
+
+    L = jnp.linalg.cholesky(S)
+    dc = jax.scipy.linalg.cho_solve((L, True), b)
+    return dc.reshape(n_cam, P)
+
+
+def _cg_schur_solve(U_d, W, Vinv, b, prob: LMProblem, n_cam, cam_opt_mask, cg_iters,
+                    psum_axis=None):
+    """Matrix-free CG on the Schur complement.
+
+    matvec(x) = U x - W V^-1 W^T x via gathers + segment sums. When
+    psum_axis is set (inside shard_map over observations), partial results
+    are all-reduced over the mesh axis, giving the distributed solver."""
+    P = U_d.shape[-1]
+    n_pts = Vinv.shape[0]
+    m = cam_opt_mask[:, None]
+
+    def matvec(x):  # x: (M, P)
+        ux = jnp.einsum("mij,mj->mi", U_d, x)
+        wtx = jax.ops.segment_sum(
+            jnp.einsum("kpj,kp->kj", W, x[prob.cam_ind]), prob.pts_ind, num_segments=n_pts
+        )
+        z = jnp.einsum("nij,nj->ni", Vinv, wtx)
+        wz = jax.ops.segment_sum(
+            jnp.einsum("kpj,kj->kp", W, z[prob.pts_ind]), prob.cam_ind, num_segments=n_cam
+        )
+        out = ux - wz
+        if psum_axis is not None:
+            out = jax.lax.psum(out, psum_axis)
+        return out * m + x * (1.0 - m)
+
+    # Jacobi (block-diagonal) preconditioner
+    U_for_prec = U_d
+    if psum_axis is not None:
+        U_for_prec = jax.lax.psum(U_d, psum_axis)
+    prec = jnp.linalg.inv(U_for_prec + jnp.eye(P) * 1e-12)
+
+    def apply_prec(v):
+        return jnp.einsum("mij,mj->mi", prec, v) * m + v * (1.0 - m)
+
+    b = b * m
+    x = jnp.zeros_like(b)
+    r = b - matvec(x)
+    z = apply_prec(r)
+    p = z
+    rz = jnp.sum(r * z)
+
+    def body(_, state):
+        x, r, p, rz = state
+        Ap = matvec(p)
+        denom = jnp.sum(p * Ap)
+        alpha = rz / jnp.where(jnp.abs(denom) < 1e-30, 1.0, denom)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = apply_prec(r)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.where(jnp.abs(rz) < 1e-30, 1.0, rz)
+        p = z + beta * p
+        return x, r, p, rz_new
+
+    x, _, _, _ = jax.lax.fori_loop(0, cg_iters, body, (x, r, p, rz))
+    return x
+
+
+def lm_step(r, J_cam, J_pt, lam, prob: LMProblem, n_cam, n_pts, cfg: LMConfig,
+            psum_axis=None):
+    """One damped Schur-complement solve. Returns (dcam (M,P), dpt (N,3))."""
+    r, g_cam, g_pt, U, V, W = _normal_blocks(r, J_cam, J_pt, prob, n_cam, n_pts, cfg)
+    if psum_axis is not None:
+        g_cam = jax.lax.psum(g_cam, psum_axis)
+        # U is also psum'd inside the CG matvec path via U_for_prec; for the
+        # matvec itself each shard applies its partial U then psums the result,
+        # so keep the local U here.
+    U_d = _damp(U, lam)
+    V_d = _damp(V, lam)
+    # frozen points: make V identity so dp = -Vinv g_pt = 0 (g_pt masked to 0)
+    eye = jnp.eye(3)
+    V_d = V_d * prob.pts_opt_mask[:, None, None] + eye * (1.0 - prob.pts_opt_mask)[:, None, None]
+    Vinv = _inv3x3(V_d)
+
+    b = _schur_rhs(g_cam, g_pt, W, Vinv, prob, n_cam)
+    if psum_axis is not None:
+        # the W V^-1 g_pt part of b is local per shard; the -g_cam part was
+        # already psum'd, so correct the double count
+        b = jax.lax.psum(b + g_cam, psum_axis) - g_cam
+
+    if cfg.schur_mode == "dense" and psum_axis is None:
+        dcam = _dense_schur_solve(U_d, W, Vinv, b, prob, n_cam, prob.cam_opt_mask)
+    else:
+        dcam = _cg_schur_solve(
+            U_d, W, Vinv, b, prob, n_cam, prob.cam_opt_mask, cfg.cg_iters, psum_axis
+        )
+
+    # back-substitute tie points: dp = -V^-1 (g_pt + W^T dcam)
+    wtdc = jax.ops.segment_sum(
+        jnp.einsum("kpj,kp->kj", W, dcam[prob.cam_ind]), prob.pts_ind, num_segments=n_pts
+    )
+    dpt = -jnp.einsum("nij,nj->ni", Vinv, g_pt + wtdc)
+    dpt = dpt * prob.pts_opt_mask[:, None]
+    dcam = dcam * prob.cam_opt_mask[:, None]
+    return dcam, dpt
+
+
+def solve(residual_fn, jac_fn, cam0, pts0, prob: LMProblem, cfg: LMConfig):
+    """Full LM loop (single device).
+
+    residual_fn(cam, pts) -> (K, 2) weighted residuals
+    jac_fn(cam, pts) -> (r, J_cam, J_pt)
+    cam0: (M, P) optimized camera parameter block; pts0: (N, 3)
+
+    Returns (cam, pts, info dict)."""
+    n_cam, n_pts = cam0.shape[0], pts0.shape[0]
+
+    def cost_of(r):
+        return loss_cost(cfg.loss, r, cfg.f_scale)
+
+    @jax.jit
+    def iteration(state):
+        cam, pts, lam, cost, n_iter, done = state
+        r, J_cam, J_pt = jac_fn(cam, pts)
+        dcam, dpt = lm_step(r, J_cam, J_pt, lam, prob, n_cam, n_pts, cfg)
+        cam_new = cam + dcam
+        pts_new = pts + dpt
+        new_cost = cost_of(residual_fn(cam_new, pts_new))
+        improved = new_cost < cost
+        rel_drop = (cost - new_cost) / jnp.maximum(cost, 1e-30)
+        cam = jnp.where(improved, cam_new, cam)
+        pts = jnp.where(improved, pts_new, pts)
+        lam = jnp.where(improved, lam / cfg.lambda_down, lam * cfg.lambda_up)
+        cost = jnp.where(improved, new_cost, cost)
+        done = done | (improved & (rel_drop < cfg.ftol)) | (lam > 1e12)
+        return cam, pts, lam, cost, n_iter + 1, done
+
+    cam, pts = jnp.asarray(cam0), jnp.asarray(pts0)
+    cost0 = float(cost_of(residual_fn(cam, pts)))
+    state = (cam, pts, jnp.asarray(cfg.lambda0, cam.dtype), jnp.asarray(cost0, cam.dtype),
+             jnp.asarray(0), jnp.asarray(False))
+    n_done = 0
+    for _ in range(cfg.max_iter):
+        state = iteration(state)
+        n_done += 1
+        if bool(state[5]):
+            break
+    cam, pts, lam, cost, n_iter, _ = state
+    info = {"cost0": cost0, "cost": float(cost), "iterations": n_done, "lambda": float(lam)}
+    return cam, pts, info
