@@ -304,11 +304,18 @@ def solve(residual_fn, jac_fn, cam0, pts0, prob: LMProblem, cfg: LMConfig):
         pts = jnp.where(improved, pts_new, pts)
         lam = jnp.where(improved, lam / cfg.lambda_down, lam * cfg.lambda_up)
         cost = jnp.where(improved, new_cost, cost)
-        done = done | (improved & (rel_drop < cfg.ftol)) | (lam > 1e12)
+        done = (
+            done
+            | (improved & (rel_drop < cfg.ftol))
+            | (lam > 1e12)
+            | (cost <= cost_floor)
+        )
         return cam, pts, lam, cost, n_iter + 1, done
 
     cam, pts = jnp.asarray(cam0), jnp.asarray(pts0)
     cost0 = float(cost_of(residual_fn(cam, pts)))
+    # absolute floor: cost at double-precision machine noise means "solved"
+    cost_floor = 1e-15 * max(cost0, 1.0)
     state = (cam, pts, jnp.asarray(cfg.lambda0, cam.dtype), jnp.asarray(cost0, cam.dtype),
              jnp.asarray(0), jnp.asarray(False))
     n_done = 0
