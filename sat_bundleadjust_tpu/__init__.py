@@ -39,6 +39,16 @@ import jax
 if not os.environ.get("SATBA_NO_X64"):
     jax.config.update("jax_enable_x64", True)
 
+# Honor an explicit JAX_PLATFORMS env var even when a site hook (e.g. a
+# PJRT plugin registration in sitecustomize) has force-updated the
+# jax_platforms config after interpreter start.
+_platforms_env = os.environ.get("JAX_PLATFORMS")
+if _platforms_env:
+    try:
+        jax.config.update("jax_platforms", _platforms_env)
+    except Exception:
+        pass
+
 __version__ = "0.1.0"
 
 

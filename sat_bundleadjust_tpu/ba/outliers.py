@@ -61,10 +61,13 @@ def compute_obs_to_remove(err, p: BAParams, predef_thr=None, min_thr=1.0):
                 continue
             elbow_value, success = get_elbow_value(err[sel])
             thr = max(elbow_value, min_thr) if success else float(np.max(err[sel]))
-            cam_thr.append(round(thr, 2))
+            cam_thr.append(thr)
         else:
-            cam_thr.append(round(float(predef_thr), 2))
+            cam_thr.append(float(predef_thr))
 
+    # NOTE: the comparison uses the exact threshold; the reference compares
+    # against np.round(thr, 2) (ba_outliers.py:136), which on an
+    # all-sub-0.005-px solution rounds to 0.0 and deletes every observation.
     thr_per_obs = np.array(cam_thr)[p.cam_ind]
     to_rm = err > thr_per_obs
     C_new = p.C.copy()
@@ -124,7 +127,11 @@ def rm_outliers(err, p: BAParams, predef_thr=None, min_thr=1.0, verbose=False):
         n_obs_in = len(p.cam_ind)
         n_tracks_in = p.C.shape[1]
         n_tracks_rm = n_tracks_in - new_p.C.shape[1]
-        print("Reprojection error threshold per camera: {} px".format(cam_thr))
+        print(
+            "Reprojection error threshold per camera: {} px".format(
+                [round(t, 2) for t in cam_thr]
+            )
+        )
         print(
             "Deleted {} observations ({:.2f}%) and {} tracks ({:.2f}%)".format(
                 n_detected,

@@ -195,6 +195,37 @@ def poly20_basis_dy(x, y, z):
     )
 
 
+def poly20_basis_dz(x, y, z):
+    """d(basis)/dz (z = normalized alt)."""
+    zero = jnp.zeros_like(x)
+    one = jnp.ones_like(x)
+    return jnp.stack(
+        [
+            zero,
+            zero,
+            zero,
+            one,
+            zero,
+            y,
+            x,
+            zero,
+            zero,
+            2 * z,
+            x * y,
+            zero,
+            zero,
+            2 * y * z,
+            zero,
+            zero,
+            2 * x * z,
+            y * y,
+            x * x,
+            3 * z * z,
+        ],
+        axis=-1,
+    )
+
+
 def apply_poly(coeffs, x, y, z):
     """Evaluate a 20-term polynomial. coeffs (..., 20) against points (...,)."""
     return jnp.sum(poly20_basis(x, y, z) * coeffs, axis=-1)

@@ -205,11 +205,14 @@ def _cg_schur_solve(U_d, W, Vinv, b, prob: LMProblem, n_cam, cam_opt_mask, cg_it
             out = jax.lax.psum(out, psum_axis)
         return out * m + x * (1.0 - m)
 
-    # Jacobi (block-diagonal) preconditioner
+    # Jacobi (block-diagonal) preconditioner. Inverted in f32: TPU XLA has
+    # no f64 LU, and preconditioner accuracy is uncritical.
     U_for_prec = U_d
     if psum_axis is not None:
         U_for_prec = jax.lax.psum(U_d, psum_axis)
-    prec = jnp.linalg.inv(U_for_prec + jnp.eye(P) * 1e-12)
+    prec = jnp.linalg.inv(
+        (U_for_prec + jnp.eye(P) * 1e-12).astype(jnp.float32)
+    ).astype(U_d.dtype)
 
     def apply_prec(v):
         return jnp.einsum("mij,mj->mi", prec, v) * m + v * (1.0 - m)
@@ -277,53 +280,72 @@ def lm_step(r, J_cam, J_pt, lam, prob: LMProblem, n_cam, n_pts, cfg: LMConfig,
     return dcam, dpt
 
 
-def solve(residual_fn, jac_fn, cam0, pts0, prob: LMProblem, cfg: LMConfig):
-    """Full LM loop (single device).
+def build_solve(residual_fn, jac_fn, n_cam, n_pts, prob: LMProblem, cfg: LMConfig):
+    """Build the jitted LM driver: one compiled program for the WHOLE
+    damped-iteration loop (lax.while_loop), so a solve is a single dispatch
+    to the device — important both for XLA scheduling and for
+    remote/tunneled devices where every dispatch pays round-trip latency.
 
-    residual_fn(cam, pts) -> (K, 2) weighted residuals
-    jac_fn(cam, pts) -> (r, J_cam, J_pt)
-    cam0: (M, P) optimized camera parameter block; pts0: (N, 3)
-
-    Returns (cam, pts, info dict)."""
-    n_cam, n_pts = cam0.shape[0], pts0.shape[0]
+    Returns run(cam, pts, max_iter) -> (cam, pts, lam, cost, n_iter, cost0).
+    Keep the returned callable around to reuse its compilation cache."""
 
     def cost_of(r):
         return loss_cost(cfg.loss, r, cfg.f_scale)
 
     @jax.jit
-    def iteration(state):
-        cam, pts, lam, cost, n_iter, done = state
-        r, J_cam, J_pt = jac_fn(cam, pts)
-        dcam, dpt = lm_step(r, J_cam, J_pt, lam, prob, n_cam, n_pts, cfg)
-        cam_new = cam + dcam
-        pts_new = pts + dpt
-        new_cost = cost_of(residual_fn(cam_new, pts_new))
-        improved = new_cost < cost
-        rel_drop = (cost - new_cost) / jnp.maximum(cost, 1e-30)
-        cam = jnp.where(improved, cam_new, cam)
-        pts = jnp.where(improved, pts_new, pts)
-        lam = jnp.where(improved, lam / cfg.lambda_down, lam * cfg.lambda_up)
-        cost = jnp.where(improved, new_cost, cost)
-        done = (
-            done
-            | (improved & (rel_drop < cfg.ftol))
-            | (lam > 1e12)
-            | (cost <= cost_floor)
-        )
-        return cam, pts, lam, cost, n_iter + 1, done
+    def run(cam, pts, max_iter):
+        cost0 = cost_of(residual_fn(cam, pts))
+        cost_floor = 1e-15 * jnp.maximum(cost0, 1.0)
 
-    cam, pts = jnp.asarray(cam0), jnp.asarray(pts0)
-    cost0 = float(cost_of(residual_fn(cam, pts)))
-    # absolute floor: cost at double-precision machine noise means "solved"
-    cost_floor = 1e-15 * max(cost0, 1.0)
-    state = (cam, pts, jnp.asarray(cfg.lambda0, cam.dtype), jnp.asarray(cost0, cam.dtype),
-             jnp.asarray(0), jnp.asarray(False))
-    n_done = 0
-    for _ in range(cfg.max_iter):
-        state = iteration(state)
-        n_done += 1
-        if bool(state[5]):
-            break
-    cam, pts, lam, cost, n_iter, _ = state
-    info = {"cost0": cost0, "cost": float(cost), "iterations": n_done, "lambda": float(lam)}
+        def body(state):
+            cam, pts, lam, cost, n_iter, done = state
+            r, J_cam, J_pt = jac_fn(cam, pts)
+            dcam, dpt = lm_step(r, J_cam, J_pt, lam, prob, n_cam, n_pts, cfg)
+            cam_new = cam + dcam
+            pts_new = pts + dpt
+            new_cost = cost_of(residual_fn(cam_new, pts_new))
+            improved = new_cost < cost
+            rel_drop = (cost - new_cost) / jnp.maximum(cost, 1e-30)
+            cam = jnp.where(improved, cam_new, cam)
+            pts = jnp.where(improved, pts_new, pts)
+            lam = jnp.where(improved, lam / cfg.lambda_down, lam * cfg.lambda_up)
+            cost = jnp.where(improved, new_cost, cost)
+            done = (
+                done
+                | (improved & (rel_drop < cfg.ftol))
+                | (lam > 1e12)
+                | (cost <= cost_floor)
+            )
+            return cam, pts, lam, cost, n_iter + 1, done
+
+        def cond(state):
+            _, _, _, _, n_iter, done = state
+            return (~done) & (n_iter < max_iter)
+
+        state0 = (
+            cam, pts, jnp.asarray(cfg.lambda0, cam.dtype), cost0,
+            jnp.asarray(0), jnp.asarray(False),
+        )
+        cam, pts, lam, cost, n_iter, _ = jax.lax.while_loop(cond, body, state0)
+        return cam, pts, lam, cost, n_iter, cost0
+
+    return run
+
+
+def solve(residual_fn, jac_fn, cam0, pts0, prob: LMProblem, cfg: LMConfig, run=None):
+    """Full LM solve. Pass a prebuilt `run` (from build_solve) to reuse its
+    compilation across solves."""
+    if run is None:
+        run = build_solve(residual_fn, jac_fn, cam0.shape[0], pts0.shape[0], prob, cfg)
+    # max_iter is a dynamic operand so solves with different iteration caps
+    # share one compiled program (compilation is expensive on remote devices)
+    cam, pts, lam, cost, n_iter, cost0 = run(
+        jnp.asarray(cam0), jnp.asarray(pts0), jnp.asarray(cfg.max_iter)
+    )
+    info = {
+        "cost0": float(cost0),
+        "cost": float(cost),
+        "iterations": int(n_iter),
+        "lambda": float(lam),
+    }
     return cam, pts, info

@@ -1,0 +1,166 @@
+"""Batched descriptor matching on the MXU.
+
+Replaces the reference's native O(N1*N2) brute-force 2-NN matcher
+(3rdparty/sift/simd/sift4ctypes.cpp:125-195 `matching`, with epipolar
+gating via `distance_epipolar` at :23-48) and the OpenCV BF/FLANN path
+(feature_tracks/ft_opencv.py:94-140).
+
+Design: squared descriptor distances are computed as
+||a||^2 + ||b||^2 - 2 a.b — the cross term is a (B, 128) x (128, N2)
+matmul that maps straight onto the MXU. The scan over row blocks keeps
+the distance matrix tile-sized in VMEM regardless of keypoint counts.
+Epipolar gating is a point-to-line distance mask applied to the distance
+tiles before the top-2 reduction (equivalent to the reference's
+rectified-ordinate test with threshold 20 px, ft_s2p.py:144-145)."""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+EPIPOLAR_THR = 20.0  # px, reference: ft_s2p.py:145
+
+
+def _epipolar_distance_sq(pts_i, pts_j, F):
+    """Squared distance of pts_j to the epipolar lines F @ pts_i, and of
+    pts_i to F.T @ pts_j; returns the max of both (B, N2).
+
+    pts_i: (B, 2); pts_j: (N2, 2); F: (3, 3)."""
+    one_i = jnp.ones(pts_i.shape[:-1] + (1,), pts_i.dtype)
+    one_j = jnp.ones(pts_j.shape[:-1] + (1,), pts_j.dtype)
+    hi = jnp.concatenate([pts_i, one_i], axis=-1)  # (B, 3)
+    hj = jnp.concatenate([pts_j, one_j], axis=-1)  # (N2, 3)
+    li = hi @ F.T  # (B, 3): epipolar lines in image j
+    lj = hj @ F  # (N2, 3): epipolar lines in image i
+    num = hi @ F.T @ hj.T  # (B, N2) algebraic residual
+    d_j = num ** 2 / jnp.maximum(li[:, 0:1] ** 2 + li[:, 1:2] ** 2, 1e-30)
+    d_i = num ** 2 / jnp.maximum((lj[:, 0] ** 2 + lj[:, 1] ** 2)[None, :], 1e-30)
+    return jnp.maximum(d_i, d_j)
+
+
+@partial(jax.jit, static_argnames=("block", "method"))
+def match_descriptors_2nn(
+    desc_i,
+    desc_j,
+    pts_i,
+    pts_j,
+    valid_i,
+    valid_j,
+    F=None,
+    rel_thr=0.6,
+    abs_thr=250.0,
+    epipolar_thr=EPIPOLAR_THR,
+    method="relative",
+    block=2048,
+):
+    """2-nearest-neighbour matching with ratio/absolute test.
+
+    Args:
+      desc_i: (N1, 128), desc_j: (N2, 128) float descriptors (NaN rows allowed)
+      pts_i: (N1, 2), pts_j: (N2, 2) pixel coordinates (for epipolar gating)
+      valid_i/valid_j: (N1,)/(N2,) bool
+      F: optional (3, 3) fundamental matrix enabling epipolar gating
+      method: "relative" (d1 < rel_thr * d2, reference default) or
+              "absolute" (d1 < abs_thr, sift4ctypes.cpp:169-178)
+    Returns:
+      nn_idx: (N1,) best match index in j (valid only where accepted)
+      accepted: (N1,) bool
+      d1: (N1,) best squared distance
+    """
+    n1 = desc_i.shape[0]
+    desc_j_t = jnp.where(valid_j[:, None], desc_j, 0.0).astype(jnp.float32)
+    sq_j = jnp.sum(desc_j_t * desc_j_t, axis=-1)  # (N2,)
+    big = jnp.float32(1e12)
+
+    n_blocks = -(-n1 // block)
+    pad = n_blocks * block - n1
+
+    desc_i_p = jnp.pad(jnp.where(valid_i[:, None], desc_i, 0.0).astype(jnp.float32), ((0, pad), (0, 0)))
+    pts_i_p = jnp.pad(pts_i.astype(jnp.float32), ((0, pad), (0, 0)))
+    valid_i_p = jnp.pad(valid_i, (0, pad))
+
+    def process_block(carry, blk):
+        di, pi, vi = blk
+        sq_i = jnp.sum(di * di, axis=-1)
+        # MXU cross term
+        cross = jnp.dot(di, desc_j_t.T, preferred_element_type=jnp.float32)
+        d2 = sq_i[:, None] + sq_j[None, :] - 2.0 * cross
+        d2 = jnp.maximum(d2, 0.0)
+        mask = valid_j[None, :] & vi[:, None]
+        if F is not None:
+            ed = _epipolar_distance_sq(pi, pts_j.astype(jnp.float32), F.astype(jnp.float32))
+            mask = mask & (ed < epipolar_thr ** 2)
+        d2 = jnp.where(mask, d2, big)
+        neg_top2, idx_top2 = jax.lax.top_k(-d2, 2)
+        d1, dsecond = -neg_top2[:, 0], -neg_top2[:, 1]
+        if method == "relative":
+            ok = d1 < (rel_thr ** 2) * dsecond
+        else:
+            ok = d1 < abs_thr ** 2
+        ok = ok & (d1 < big * 0.5) & vi
+        return carry, (idx_top2[:, 0], ok, d1)
+
+    _, (nn_idx, accepted, d1) = jax.lax.scan(
+        process_block,
+        None,
+        (
+            desc_i_p.reshape(n_blocks, block, -1),
+            pts_i_p.reshape(n_blocks, block, 2),
+            valid_i_p.reshape(n_blocks, block),
+        ),
+    )
+    return (
+        nn_idx.reshape(-1)[:n1],
+        accepted.reshape(-1)[:n1],
+        d1.reshape(-1)[:n1],
+    )
+
+
+def match_pair(features_i, features_j, F=None, rel_thr=0.6, abs_thr=250.0,
+               method="relative", ransac_thr=0.3, epipolar_thr=EPIPOLAR_THR):
+    """Full pairwise matching: 2-NN + ratio test (+ epipolar gating) then
+    RANSAC fundamental-matrix filtering. Host-facing wrapper.
+
+    features_*: (N, 132) arrays in the reference keypoint layout
+    (col, row, scale, orientation, 128-dim descriptor), NaN padded.
+
+    Returns (matches_ij (M, 2) int array or None, n_ratio, n_ransac)."""
+    from sat_bundleadjust_tpu.ops.ransac import ransac_fundamental
+
+    features_i = np.asarray(features_i)
+    features_j = np.asarray(features_j)
+    valid_i = ~np.isnan(features_i[:, 0])
+    valid_j = ~np.isnan(features_j[:, 0])
+    if valid_i.sum() == 0 or valid_j.sum() == 0:
+        return None, 0, 0
+
+    nn_idx, accepted, _ = match_descriptors_2nn(
+        jnp.asarray(features_i[:, 4:]),
+        jnp.asarray(features_j[:, 4:]),
+        jnp.asarray(features_i[:, :2]),
+        jnp.asarray(features_j[:, :2]),
+        jnp.asarray(valid_i),
+        jnp.asarray(valid_j),
+        F=None if F is None else jnp.asarray(F),
+        rel_thr=rel_thr,
+        abs_thr=abs_thr,
+        epipolar_thr=epipolar_thr,
+        method=method,
+    )
+    accepted = np.asarray(accepted)
+    nn_idx = np.asarray(nn_idx)
+    idx_i = np.where(accepted)[0]
+    matches_ij = np.stack([idx_i, nn_idx[idx_i]], axis=1).astype(np.int64)
+    n_ratio = matches_ij.shape[0]
+    if n_ratio == 0:
+        return None, 0, 0
+
+    if ransac_thr is not None and n_ratio >= 8:
+        pts_i = features_i[matches_ij[:, 0], :2]
+        pts_j = features_j[matches_ij[:, 1], :2]
+        _, inliers = ransac_fundamental(pts_i, pts_j, thr=ransac_thr)
+        if inliers is None or inliers.sum() == 0:
+            return None, n_ratio, 0
+        matches_ij = matches_ij[inliers]
+    return matches_ij, n_ratio, matches_ij.shape[0]

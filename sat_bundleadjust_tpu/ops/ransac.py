@@ -1,0 +1,125 @@
+"""Batched-hypothesis RANSAC for the fundamental matrix.
+
+Replaces the reference's control-flow-heavy host RANSAC (the `ransac`
+package called from s2p/sift.py:181-184 and cv2.findFundamentalMat at
+feature_tracks/ft_opencv.py:206-208) with the TPU-native pattern: all
+hypotheses are generated and scored in parallel — sample 8-point minimal
+sets, solve the normalized 8-point problem per hypothesis (batched SVD),
+score every match against every hypothesis, pick the best, refit on its
+inliers.
+
+The inlier criterion is the max-of-both-images squared epipolar distance
+with threshold thr^2, matching OpenCV's FM_RANSAC error
+(ft_opencv.inliers_mask_from_fundamental_matrix, ft_opencv.py:143-185)."""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+N_HYPOTHESES = 512
+MIN_SAMPLES = 8
+
+
+def _normalize(pts):
+    """Hartley normalization, batched over leading dims."""
+    c = jnp.mean(pts, axis=-2, keepdims=True)
+    centered = pts - c
+    scale = jnp.sqrt(2.0) / jnp.maximum(
+        jnp.mean(jnp.linalg.norm(centered, axis=-1), axis=-1), 1e-12
+    )
+    T = jnp.zeros(pts.shape[:-2] + (3, 3))
+    T = T.at[..., 0, 0].set(scale)
+    T = T.at[..., 1, 1].set(scale)
+    T = T.at[..., 0, 2].set(-scale * c[..., 0, 0])
+    T = T.at[..., 1, 2].set(-scale * c[..., 0, 1])
+    T = T.at[..., 2, 2].set(1.0)
+    return centered * scale[..., None, None], T
+
+
+def _eight_point(pts1, pts2):
+    """Normalized 8-point algorithm, batched: pts (..., S, 2) -> F (..., 3, 3).
+
+    Runs in f32 internally: Hartley normalization makes f32 adequate, and
+    TPU XLA implements SVD only for f32."""
+    pts1 = pts1.astype(jnp.float32)
+    pts2 = pts2.astype(jnp.float32)
+    n1, T1 = _normalize(pts1)
+    n2, T2 = _normalize(pts2)
+    x1, y1 = n1[..., 0], n1[..., 1]
+    x2, y2 = n2[..., 0], n2[..., 1]
+    ones = jnp.ones_like(x1)
+    # constraint rows: x2*x1 x2*y1 x2 y2*x1 y2*y1 y2 x1 y1 1
+    A = jnp.stack(
+        [x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, ones], axis=-1
+    )  # (..., S, 9)
+    _, _, vh = jnp.linalg.svd(A, full_matrices=True)
+    f = vh[..., -1, :]
+    F = f.reshape(f.shape[:-1] + (3, 3))
+    # enforce rank 2
+    u, s, vt = jnp.linalg.svd(F)
+    s = s.at[..., 2].set(0.0)
+    F = u @ (s[..., None] * vt)
+    # denormalize: F = T2^T F T1
+    F = jnp.swapaxes(T2, -1, -2) @ F @ T1
+    norm = jnp.linalg.norm(F.reshape(F.shape[:-2] + (9,)), axis=-1)
+    return F / jnp.maximum(norm, 1e-30)[..., None, None]
+
+
+def _sym_epipolar_err(F, pts1, pts2):
+    """Max-of-both squared epipolar distance, batched.
+
+    F: (..., 3, 3); pts: (N, 2) -> (..., N)."""
+    h1 = jnp.concatenate([pts1, jnp.ones_like(pts1[:, :1])], axis=-1)  # (N, 3)
+    h2 = jnp.concatenate([pts2, jnp.ones_like(pts2[:, :1])], axis=-1)
+    l2 = h1 @ jnp.swapaxes(F, -1, -2)  # (..., N, 3): lines in image 2
+    l1 = h2 @ F  # (..., N, 3): lines in image 1
+    num = jnp.sum(l2 * h2, axis=-1)  # (..., N)
+    d2 = num ** 2 / jnp.maximum(l2[..., 0] ** 2 + l2[..., 1] ** 2, 1e-30)
+    d1 = num ** 2 / jnp.maximum(l1[..., 0] ** 2 + l1[..., 1] ** 2, 1e-30)
+    return jnp.maximum(d1, d2)
+
+
+@partial(jax.jit, static_argnames=("n_hypotheses",))
+def _ransac_core(pts1, pts2, valid, thr, seed, n_hypotheses=N_HYPOTHESES):
+    n = pts1.shape[0]
+    key = jax.random.PRNGKey(seed)
+    # sample indices only among valid matches: draw from the valid set via
+    # categorical sampling over the validity mask
+    logits = jnp.where(valid, 0.0, -1e30)
+    samples = jax.random.categorical(
+        key, logits[None, :], shape=(n_hypotheses, MIN_SAMPLES)
+    )  # (H, 8)
+    F = _eight_point(pts1[samples], pts2[samples])  # (H, 3, 3)
+    errs = _sym_epipolar_err(F, pts1, pts2)  # (H, N)
+    inl = (errs < thr ** 2) & valid[None, :]
+    counts = jnp.sum(inl, axis=-1)
+    best = jnp.argmax(counts)
+    return F[best], inl[best], counts[best]
+
+
+def ransac_fundamental(pts1, pts2, thr=0.3, seed=0, n_hypotheses=N_HYPOTHESES,
+                       refit=True):
+    """RANSAC fundamental matrix from Nx2 matched points.
+
+    Returns (F (3, 3) numpy, inlier mask (N,) bool numpy) or (None, None)."""
+    pts1 = np.asarray(pts1, dtype=np.float64)
+    pts2 = np.asarray(pts2, dtype=np.float64)
+    n = pts1.shape[0]
+    if n < MIN_SAMPLES:
+        return None, None
+    valid = np.isfinite(pts1[:, 0]) & np.isfinite(pts2[:, 0])
+    F, inliers, count = _ransac_core(
+        jnp.asarray(pts1), jnp.asarray(pts2), jnp.asarray(valid),
+        float(thr), int(seed), n_hypotheses=n_hypotheses,
+    )
+    inliers = np.asarray(inliers)
+    if int(count) < MIN_SAMPLES:
+        return None, None
+    if refit:
+        # least-squares refit on all inliers, then re-derive the inlier set
+        F = _eight_point(jnp.asarray(pts1[inliers]), jnp.asarray(pts2[inliers]))
+        errs = np.asarray(_sym_epipolar_err(F, jnp.asarray(pts1), jnp.asarray(pts2)))
+        inliers = (errs < thr ** 2) & valid
+    return np.asarray(F), inliers

@@ -1,0 +1,236 @@
+"""Distributed Schur-complement bundle adjustment over a device mesh.
+
+The multi-host/multi-chip design recommended in SURVEY.md sections 5.7/5.8
+and 7 step 6:
+
+  * tie-point TRACKS are partitioned across devices (each track's
+    observations live entirely on one shard), so the 3x3 point blocks V and
+    the point back-substitution are local to a shard;
+  * the reduced camera system (gradient g_cam, block diagonal U and the
+    Schur matvec W V^-1 W^T x) is accumulated with a single psum over the
+    ICI "obs" mesh axis per CG matvec;
+  * camera parameters and increments stay replicated.
+
+This is the structural analog of data parallelism with an all-reduce of
+the (small) camera normal system — the reference's closest counterpart is
+the multiprocessing fan-out of ft_match.py:342-393, which communicates
+through the filesystem instead."""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from sat_bundleadjust_tpu.ops import lm as lm_ops
+from sat_bundleadjust_tpu.ops.robust import loss_cost
+from sat_bundleadjust_tpu.parallel.mesh import OBS_AXIS, make_mesh
+
+
+def shard_observations(pts_ind, cam_ind, pts2d, weights, n_pts, n_shards):
+    """Partition observations by track into n_shards balanced shards.
+
+    Returns dict of stacked padded arrays with leading dim n_shards; padded
+    entries have weight 0 (they contribute exactly zero to residuals and
+    normal equations since r and J carry the weight factor)."""
+    pts_ind = np.asarray(pts_ind)
+    cam_ind = np.asarray(cam_ind)
+    pts2d = np.asarray(pts2d)
+    weights = np.asarray(weights)
+
+    # group observation indices by track
+    order = np.argsort(pts_ind, kind="stable")
+    sorted_pts = pts_ind[order]
+    boundaries = np.searchsorted(sorted_pts, np.arange(n_pts + 1))
+    track_sizes = np.diff(boundaries)
+
+    # greedy balanced assignment of tracks to shards (largest first)
+    shard_load = np.zeros(n_shards, dtype=np.int64)
+    shard_of_track = np.zeros(n_pts, dtype=np.int64)
+    for t in np.argsort(-track_sizes, kind="stable"):
+        s = int(np.argmin(shard_load))
+        shard_of_track[t] = s
+        shard_load[s] += track_sizes[t]
+
+    shards = [[] for _ in range(n_shards)]
+    for t in range(n_pts):
+        if track_sizes[t] == 0:
+            continue
+        obs_idx = order[boundaries[t] : boundaries[t + 1]]
+        shards[shard_of_track[t]].append(obs_idx)
+
+    max_k = int(shard_load.max()) if n_pts else 1
+    K_pad = max(max_k, 1)
+
+    def pad(arr, fill, dtype):
+        out = np.full((n_shards, K_pad) + arr.shape[1:], fill, dtype=dtype)
+        for s in range(n_shards):
+            if shards[s]:
+                idx = np.concatenate(shards[s])
+                out[s, : len(idx)] = arr[idx]
+        return out
+
+    return {
+        "pts_ind": pad(pts_ind, 0, np.int32),
+        "cam_ind": pad(cam_ind, 0, np.int32),
+        "pts2d": pad(pts2d, 0.0, np.float64),
+        "weights": pad(weights, 0.0, np.float64),
+        "shard_of_track": shard_of_track,
+    }
+
+
+class DistributedLM:
+    """LM solve with observations sharded over a mesh.
+
+    obs_fn: single-observation residual (cam_opt, pt, cam_tail, rpc_leaf,
+    obs2d, w) -> (2,), as built by ba/solver._obs_residual_fn."""
+
+    def __init__(self, obs_fn, rpcs, cam_tail, sharded, n_cam, n_pts,
+                 cam_opt_mask, pts_opt_mask, cfg: lm_ops.LMConfig, mesh=None):
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.cfg = cfg._replace(schur_mode="cg")
+        self.n_cam, self.n_pts = n_cam, n_pts
+        n_shards = self.mesh.devices.size
+
+        shard = NamedSharding(self.mesh, P(OBS_AXIS))
+        repl = NamedSharding(self.mesh, P())
+        self.obs = {
+            k: jax.device_put(jnp.asarray(v), shard)
+            for k, v in sharded.items()
+            if k != "shard_of_track"
+        }
+        self.cam_tail = jax.device_put(jnp.asarray(cam_tail), repl)
+        self.rpcs = None if rpcs is None else jax.tree.map(
+            lambda l: jax.device_put(jnp.asarray(l), repl), rpcs
+        )
+        self.cam_opt_mask = jax.device_put(jnp.asarray(cam_opt_mask), repl)
+        self.pts_opt_mask = jax.device_put(jnp.asarray(pts_opt_mask), repl)
+        self.repl = repl
+
+        cfg_local = self.cfg
+        obs_leaf_specs = {k: P(OBS_AXIS) for k in self.obs}
+        rpc_spec = None if self.rpcs is None else jax.tree.map(lambda _: P(), self.rpcs)
+
+        def shard_body(obs, cam_tail, rpcs, cam_opt_mask, pts_opt_mask, cam, pts, lam):
+            # obs arrays arrive with leading dim (K_shard,) after shard_map
+            pts_ind = obs["pts_ind"][0]
+            cam_ind = obs["cam_ind"][0]
+            pts2d = obs["pts2d"][0]
+            w = obs["weights"][0]
+
+            if rpcs is not None:
+                rpc_k = jax.tree.map(lambda l: l[cam_ind], rpcs)
+            else:
+                rpc_k = jnp.zeros_like(w)
+
+            def one(co, pt, ct, rk, ob, wk):
+                return obs_fn(co, pt, ct, rk, ob, wk)
+
+            r = jax.vmap(one)(cam[cam_ind], pts[pts_ind], cam_tail[cam_ind], rpc_k, pts2d, w)
+            jac = jax.vmap(jax.jacfwd(one, argnums=(0, 1)))(
+                cam[cam_ind], pts[pts_ind], cam_tail[cam_ind], rpc_k, pts2d, w
+            )
+            J_cam, J_pt = jac
+
+            prob = lm_ops.LMProblem(
+                pts_ind=pts_ind, cam_ind=cam_ind, pts2d=pts2d, weights=w,
+                cam_opt_mask=cam_opt_mask, pts_opt_mask=pts_opt_mask,
+                pair_k1=jnp.zeros(0, jnp.int32), pair_k2=jnp.zeros(0, jnp.int32),
+            )
+            dcam, dpt = lm_ops.lm_step(
+                r, J_cam, J_pt, lam, prob, cam.shape[0], pts.shape[0], cfg_local,
+                psum_axis=OBS_AXIS,
+            )
+            # dpt is exact on the shard owning the track, zero elsewhere
+            dpt = jax.lax.psum(dpt, OBS_AXIS)
+            cost_local = loss_cost(cfg_local.loss, r, cfg_local.f_scale)
+            cost = jax.lax.psum(cost_local, OBS_AXIS)
+            return dcam, dpt, cost
+
+        def cost_body(obs, cam_tail, rpcs, cam, pts):
+            pts_ind = obs["pts_ind"][0]
+            cam_ind = obs["cam_ind"][0]
+            pts2d = obs["pts2d"][0]
+            w = obs["weights"][0]
+            if rpcs is not None:
+                rpc_k = jax.tree.map(lambda l: l[cam_ind], rpcs)
+            else:
+                rpc_k = jnp.zeros_like(w)
+            r = jax.vmap(obs_fn)(cam[cam_ind], pts[pts_ind], cam_tail[cam_ind], rpc_k, pts2d, w)
+            return jax.lax.psum(loss_cost(cfg_local.loss, r, cfg_local.f_scale), OBS_AXIS)
+
+        in_specs_step = (
+            obs_leaf_specs, P(), rpc_spec, P(), P(), P(), P(), P(),
+        )
+        self._step = jax.jit(
+            jax.shard_map(
+                shard_body, mesh=self.mesh, in_specs=in_specs_step,
+                out_specs=(P(), P(), P()), check_vma=False,
+            )
+        )
+        in_specs_cost = (obs_leaf_specs, P(), rpc_spec, P(), P())
+        self._cost = jax.jit(
+            jax.shard_map(
+                cost_body, mesh=self.mesh, in_specs=in_specs_cost,
+                out_specs=P(), check_vma=False,
+            )
+        )
+
+    def cost(self, cam, pts):
+        c = self._cost(self.obs, self.cam_tail, self.rpcs, cam, pts)
+        return float(np.asarray(c).reshape(-1)[0])
+
+    def solve(self, cam0, pts0):
+        cam = jax.device_put(jnp.asarray(cam0), self.repl)
+        pts = jax.device_put(jnp.asarray(pts0), self.repl)
+        lam = self.cfg.lambda0
+        cost = self.cost(cam, pts)
+        cost0 = cost
+        cost_floor = 1e-15 * max(cost0, 1.0)
+        iters = 0
+        for _ in range(self.cfg.max_iter):
+            dcam, dpt, _ = self._step(
+                self.obs, self.cam_tail, self.rpcs, self.cam_opt_mask,
+                self.pts_opt_mask, cam, pts, jnp.asarray(lam, jnp.float64),
+            )
+            cam_new = cam + dcam
+            pts_new = pts + dpt
+            new_cost = self.cost(cam_new, pts_new)
+            iters += 1
+            if new_cost < cost:
+                rel_drop = (cost - new_cost) / max(cost, 1e-30)
+                cam, pts, cost = cam_new, pts_new, new_cost
+                lam /= self.cfg.lambda_down
+                if rel_drop < self.cfg.ftol or cost <= cost_floor:
+                    break
+            else:
+                lam *= self.cfg.lambda_up
+                if lam > 1e12:
+                    break
+        return cam, pts, {"cost0": cost0, "cost": cost, "iterations": iters}
+
+
+def run_distributed_ba(p, ls_params=None, mesh=None):
+    """Distributed counterpart of ba.solver.run_ba_optimization for a
+    BAParams problem: shard its observation table over the mesh and solve."""
+    from sat_bundleadjust_tpu.ba.solver import _obs_residual_fn, _reproj_err, init_optimization_config
+
+    ls = init_optimization_config(ls_params)
+    cfg = lm_ops.LMConfig(
+        loss=ls["loss"], f_scale=float(ls["f_scale"]), max_iter=int(ls["max_iter"]),
+        ftol=float(ls["ftol"]), xtol=float(ls["xtol"]), schur_mode="cg",
+    )
+    mesh = mesh if mesh is not None else make_mesh()
+    sharded = shard_observations(
+        p.pts_ind, p.cam_ind, p.pts2d, p.pts2d_w, p.n_pts, mesh.devices.size
+    )
+    obs_fn = _obs_residual_fn(p.cam_model, p.n_params)
+    solver = DistributedLM(
+        obs_fn, p.rpcs, p.cam_params[:, p.n_params :], sharded, p.n_cam, p.n_pts,
+        p.cam_opt_mask, p.pts_opt_mask, cfg, mesh=mesh,
+    )
+    cam0 = jnp.asarray(p.opt_block())
+    pts0 = jnp.asarray(p.pts3d)
+    cam, pts, info = solver.solve(cam0, pts0)
+    return (cam0, pts0), (cam, pts), info

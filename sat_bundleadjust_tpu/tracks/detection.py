@@ -1,0 +1,116 @@
+"""Keypoint detection backends.
+
+The reference offers two detectors: the IPOL SIMD SIFT via ctypes
+("s2p", feature_tracks/ft_s2p.py) and OpenCV SIFT ("opencv",
+feature_tracks/ft_opencv.py). Here:
+
+* "tpu": the JAX/Pallas scale-space SIFT of sat_bundleadjust_tpu.ops.sift
+  (the TPU-native replacement of the SIMD C++ detector; same IPOL anatomy
+  parameters: thresh_dog 0.0133, 8 octaves, 3 scales per octave —
+  ft_s2p.py:42-44)
+* "opencv": cv2 SIFT on percentile-equalized uint8 (reference behavior)
+
+Both produce the common keypoint layout: (N, 132) float rows
+(col, row, scale, orientation, 128-dim descriptor), NaN-padded to
+FT_kp_max with scale-descending priority (ft_s2p.py:75-79)."""
+
+import os
+
+import numpy as np
+
+from sat_bundleadjust_tpu.utils import io as loader
+from sat_bundleadjust_tpu.utils.io import flush_print, get_id
+
+
+def _top_k_by_scale(features, max_kp):
+    """Sort by descending scale and NaN-pad to max_kp
+    (reference: ft_s2p.py:74-82)."""
+    if features.shape[0] > 0:
+        features = features[np.argsort(-features[:, 2], kind="stable")]
+    if max_kp is None:
+        return features
+    out = np.full((max_kp, 132), np.nan)
+    n = min(features.shape[0], max_kp)
+    out[:n] = features[:n]
+    return out
+
+
+def _apply_mask(features, mask):
+    pts = features[:, :2].astype(np.int64)
+    h, w = mask.shape
+    pts[:, 0] = np.clip(pts[:, 0], 0, w - 1)
+    pts[:, 1] = np.clip(pts[:, 1], 0, h - 1)
+    inside = mask[pts[:, 1], pts[:, 0]] > 0
+    return features[inside]
+
+
+def detect_opencv(image, mask=None):
+    """cv2 SIFT on an equalized image (reference: ft_opencv.py:17-74)."""
+    import cv2
+
+    sift = cv2.SIFT_create()
+    kp, des = sift.detectAndCompute(
+        image.astype(np.uint8), None if mask is None else mask.astype(np.uint8)
+    )
+    if not kp:
+        return np.zeros((0, 132))
+    return np.array([[k.pt[0], k.pt[1], k.size, k.angle, *d] for k, d in zip(kp, des)])
+
+
+def detect_tpu(image, mask=None, thresh_dog=0.0133, n_octaves=8, n_scales=3, max_kp=None):
+    """JAX scale-space SIFT (see ops/sift.py)."""
+    from sat_bundleadjust_tpu.ops.sift import detect_sift
+
+    feats = detect_sift(
+        np.asarray(image, dtype=np.float32),
+        thresh_dog=thresh_dog,
+        n_octaves=n_octaves,
+        n_scales=n_scales,
+        max_kp=max_kp,
+    )
+    if mask is not None and feats.shape[0] > 0:
+        feats = _apply_mask(feats, mask)
+    return feats
+
+
+def detect_features_image_sequence(geotiff_paths, mask_paths=None, offsets=None,
+                                   tracks_config=None, image_indices=None, thread_idx=None):
+    """Detect keypoints over an image sequence with npy caching
+    (reference: ft_s2p.detect_features_image_sequence, ft_s2p.py:18-94)."""
+    from sat_bundleadjust_tpu.utils.config import init_feature_tracks_config
+
+    config = init_feature_tracks_config(tracks_config)
+    max_kp = None if tracks_config is None else config["FT_kp_max"]
+    backend = config["FT_sift_detection"]
+
+    features = []
+    for i, geotiff_path in enumerate(geotiff_paths):
+        found_existing = False
+        if not config["FT_reset"] and "in_dir" in config:
+            npy_in = os.path.join(config["in_dir"], "features/{}.npy".format(get_id(geotiff_path)))
+            if os.path.exists(npy_in):
+                features_i = np.load(npy_in)
+                found_existing = True
+        if not found_existing:
+            offset_i = None if offsets is None else offsets[i]
+            mask = None if mask_paths is None else np.load(mask_paths[i])
+            if backend == "opencv":
+                image = loader.load_image(geotiff_path, offset=offset_i, equalize=True)
+                features_i = detect_opencv(image, mask)
+            else:  # "tpu" (also accepts the reference's "s2p" name)
+                image = loader.load_image(geotiff_path, offset=offset_i)
+                features_i = detect_tpu(
+                    image, mask,
+                    thresh_dog=config.get("FT_thresh_dog", 0.0133),
+                    max_kp=max_kp,
+                )
+            features_i = _top_k_by_scale(features_i, max_kp)
+        n_kp = int(np.sum(~np.isnan(features_i[:, 0])))
+        flush_print("{} keypoints in image {}".format(n_kp, i))
+
+        if config["FT_save"] and "out_dir" in config:
+            npy_out = os.path.join(config["out_dir"], "features/{}.npy".format(get_id(geotiff_path)))
+            os.makedirs(os.path.dirname(npy_out), exist_ok=True)
+            np.save(npy_out, features_i)
+        features.append(features_i)
+    return features

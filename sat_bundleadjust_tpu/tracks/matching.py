@@ -1,0 +1,220 @@
+"""Pairwise matching orchestration over stereo pairs.
+
+Covers the reference's feature_tracks/ft_match.py:76-393: restriction of
+the candidate keypoints to the UTM intersection polygon of the two
+footprints, the 2-NN + RANSAC matching itself (here the MXU kernel of
+ops/match.py instead of the native sift4ctypes matcher), the UTM
+geo-consistency elbow filter, and the npy match caching protocol.
+
+Parallelism note: the reference fans pairs out over multiprocessing.Pool /
+ray workers (ft_match.py:342-393). Here a single process drives the
+device; each pair is one batched kernel launch, and scale-out across
+devices shards the pair list (see sat_bundleadjust_tpu/parallel)."""
+
+import os
+
+import numpy as np
+
+from sat_bundleadjust_tpu.models import ellipsoid
+from sat_bundleadjust_tpu.ops.match import match_pair
+from sat_bundleadjust_tpu.utils import geo as geo_utils
+from sat_bundleadjust_tpu.utils.io import get_id
+
+
+def keypoints_to_utm_coords(im_features, im_rpc, im_offset, alt):
+    """Approximate (east, north) of each keypoint by localization at the
+    footprint altitude (reference: ft_match.py:190-217)."""
+    import jax.numpy as jnp
+
+    im_features = np.asarray(im_features)
+    n_kp = int(np.sum(~np.isnan(im_features[:, 0])))
+    cols = im_features[:n_kp, 0] + im_offset["col0"]
+    rows = im_features[:n_kp, 1] + im_offset["row0"]
+    alts = np.full(n_kp, float(alt))
+    lon, lat = im_rpc.localization(jnp.asarray(cols), jnp.asarray(rows), jnp.asarray(alts))
+    east, north = geo_utils.utm_from_lonlat(np.asarray(lon), np.asarray(lat))
+    utm = np.stack((east, north), axis=1)
+    rest = im_features[n_kp:, :2].copy()
+    return np.vstack((utm, rest))
+
+
+def get_pt_indices_inside_utm_bbx(easts, norths, min_east, max_east, min_north, max_north):
+    """Reference: ft_match.py:76-90."""
+    east_ok = (easts > min_east) & (easts < max_east)
+    north_ok = (norths > min_north) & (norths < max_north)
+    return np.where(east_ok & north_ok)[0]
+
+
+def filter_matches_inconsistent_utm_coords(matches_ij, utm_i, utm_j):
+    """Elbow filter on the distances between matched geo-coordinates
+    (reference: ft_match.py:220-247)."""
+    from sat_bundleadjust_tpu.ba.outliers import get_elbow_value
+
+    pt_i = utm_i[matches_ij[:, 0]]
+    pt_j = utm_j[matches_ij[:, 1]]
+    d = np.linalg.norm(pt_i - pt_j, axis=1)
+    utm_thr, success = get_elbow_value(d, max_outliers_percent=20)
+    utm_thr = utm_thr + 5 if success else np.max(d)
+    return matches_ij[d <= utm_thr]
+
+
+def match_kp_within_utm_polygon(features_i, features_j, utm_i, utm_j, utm_polygon,
+                                tracks_config, F=None):
+    """Match keypoints restricted to the UTM intersection polygon's bbox
+    (reference: ft_match.py:93-187).
+
+    features_* and utm_* may be arrays or .npy paths."""
+    load = lambda x: np.load(x, mmap_mode="r") if isinstance(x, str) else np.asarray(x)
+    features_i, features_j = load(features_i), load(features_j)
+    utm_i, utm_j = load(utm_i), load(utm_j)
+
+    east_poly = utm_polygon.coords[:, 0]
+    north_poly = utm_polygon.coords[:, 1]
+    idx_i = get_pt_indices_inside_utm_bbx(
+        utm_i[:, 0], utm_i[:, 1], east_poly.min(), east_poly.max(), north_poly.min(), north_poly.max()
+    )
+    idx_j = get_pt_indices_inside_utm_bbx(
+        utm_j[:, 0], utm_j[:, 1], east_poly.min(), east_poly.max(), north_poly.min(), north_poly.max()
+    )
+    if len(idx_i) == 0 or len(idx_j) == 0:
+        return None, [0, 0, 0]
+
+    fi, fj = np.asarray(features_i[idx_i]), np.asarray(features_j[idx_j])
+    method_cfg = tracks_config["FT_sift_matching"]
+    if method_cfg == "epipolar_based":
+        matches_poly, n_ratio, n_ransac = match_pair(
+            fi, fj, F=F,
+            rel_thr=tracks_config["FT_rel_thr"],
+            ransac_thr=tracks_config["FT_ransac"],
+            method="relative",
+        )
+        n = [n_ransac]
+    elif method_cfg in ("bruteforce", "flann"):
+        # pure descriptor matching without epipolar gating (reference's
+        # OpenCV path, ft_opencv.py:94-140)
+        matches_poly, n_ratio, n_ransac = match_pair(
+            fi, fj, F=None,
+            rel_thr=tracks_config["FT_rel_thr"],
+            ransac_thr=tracks_config["FT_ransac"],
+            method="relative",
+        )
+        n = [n_ratio, n_ransac]
+    elif method_cfg == "absolute":
+        matches_poly, n_ratio, n_ransac = match_pair(
+            fi, fj, F=F,
+            abs_thr=tracks_config["FT_abs_thr"],
+            ransac_thr=tracks_config["FT_ransac"],
+            method="absolute",
+        )
+        n = [n_ratio, n_ransac]
+    else:
+        raise ValueError("unknown FT_sift_matching: {}".format(method_cfg))
+
+    if matches_poly is None:
+        matches_ij = None
+    else:
+        matches_ij = np.stack(
+            [idx_i[matches_poly[:, 0]], idx_j[matches_poly[:, 1]]], axis=1
+        )
+
+    n_init = 0 if matches_ij is None else matches_ij.shape[0]
+    if n_init > 0:
+        matches_ij = filter_matches_inconsistent_utm_coords(matches_ij, utm_i, utm_j)
+        n.append(0 if matches_ij is None else matches_ij.shape[0])
+    else:
+        n.append(0)
+    return matches_ij, n
+
+
+def init_F_pair_to_match(h, w, rpc_i, rpc_j):
+    """Affine fundamental matrix from a 5^3 grid of RPC virtual matches
+    (reference: ft_pipeline.py:139-145 + s2p/rpc_utils.matches_from_rpc
+    :226-246 + s2p/estimation.affine_fundamental_matrix :114-154)."""
+    import jax.numpy as jnp
+
+    # virtual matches over the altitude validity range
+    n = 5
+    m = float(np.asarray(rpc_i.alt_offset)) - float(np.asarray(rpc_i.alt_scale))
+    M = float(np.asarray(rpc_i.alt_offset)) + float(np.asarray(rpc_i.alt_scale))
+    from sat_bundleadjust_tpu.models.cameras import generate_point_mesh
+
+    col_range = [(1.0 / (2 * n)) * w, ((2 * n - 1.0) / (2 * n)) * w, n]
+    row_range = [(1.0 / (2 * n)) * h, ((2 * n - 1.0) / (2 * n)) * h, n]
+    cols, rows, alts = generate_point_mesh(col_range, row_range, [m, M, n])
+    lons, lats = rpc_i.localization(jnp.asarray(cols), jnp.asarray(rows), jnp.asarray(alts))
+    x1, y1 = rpc_i.projection(lons, lats, jnp.asarray(alts))
+    x2, y2 = rpc_j.projection(lons, lats, jnp.asarray(alts))
+    matches = np.vstack([np.asarray(x1), np.asarray(y1), np.asarray(x2), np.asarray(y2)]).T
+    return affine_fundamental_matrix(matches)
+
+
+def affine_fundamental_matrix(matches):
+    """Gold Standard affine F (reference: s2p/estimation.py:114-154)."""
+    X = matches[:, [2, 3, 0, 1]]
+    N = len(X)
+    XX = np.sum(X, axis=0) / N
+    A = X - np.tile(XX, (N, 1))
+    _, _, V = np.linalg.svd(A)
+    Nv = V[-1, :]
+    F = np.zeros((3, 3))
+    F[0, 2] = Nv[0]
+    F[1, 2] = Nv[1]
+    F[2, 0] = Nv[2]
+    F[2, 1] = Nv[3]
+    F[2, 2] = -np.dot(Nv, XX)
+    return F
+
+
+def match_stereo_pairs(pairs_to_match, features, footprints, utm_coords, tracks_config,
+                       F=None, thread_idx=None):
+    """Match all pairs; returns (K, 4) rows (kp_i, kp_j, im_i, im_j).
+
+    Implements the npy caching protocol of the reference
+    (ft_match.py:289-336): matches are cached per pair id in
+    matches/pairwise_matches/<idA>_<idB>.npy, reused in either order when
+    FT_reset is False."""
+    kp_rows, im_rows = [], []
+    F = [None] * len(pairs_to_match) if F is None else F
+    in_dir = tracks_config.get("in_dir", "")
+    out_dir = tracks_config.get("out_dir", "")
+
+    for idx, (i, j) in enumerate(pairs_to_match):
+        poly_i = geo_utils.geojson_to_polygon(footprints[i]["geojson"])
+        poly_j = geo_utils.geojson_to_polygon(footprints[j]["geojson"])
+        utm_polygon = poly_i.intersection(poly_j)
+
+        fid = lambda x: get_id(x) if isinstance(x, str) else str(x)
+        npy_id1 = "{}_{}.npy".format(fid(features[i]), fid(features[j]))
+        npy_id2 = "{}_{}.npy".format(fid(features[j]), fid(features[i]))
+        npy_path1 = os.path.join(in_dir, "pairwise_matches", npy_id1)
+        npy_path2 = os.path.join(in_dir, "pairwise_matches", npy_id2)
+        npy_id = npy_id1
+
+        if in_dir and os.path.exists(npy_path1) and not tracks_config["FT_reset"]:
+            matches_ij = np.load(npy_path1)
+        elif in_dir and os.path.exists(npy_path2) and not tracks_config["FT_reset"]:
+            matches_ij = np.load(npy_path2)[:, ::-1]
+            npy_id = npy_id2
+        else:
+            if utm_polygon.coords.shape[0] < 3:
+                matches_ij = None
+            else:
+                matches_ij, n = match_kp_within_utm_polygon(
+                    features[i], features[j], utm_coords[i], utm_coords[j],
+                    utm_polygon, tracks_config, F[idx]
+                )
+            n_matches = 0 if matches_ij is None else matches_ij.shape[0]
+            print("{:4} matches in pair {}".format(n_matches, (i, j)), flush=True)
+
+        n_matches = 0 if matches_ij is None else matches_ij.shape[0]
+        if n_matches > 0:
+            kp_rows.extend(np.asarray(matches_ij).tolist())
+            im_rows.extend([[i, j]] * n_matches)
+            if tracks_config.get("FT_save") and out_dir:
+                out_path = os.path.join(out_dir, "pairwise_matches", npy_id)
+                os.makedirs(os.path.dirname(out_path), exist_ok=True)
+                np.save(out_path, np.asarray(matches_ij))
+
+    if not kp_rows:
+        return np.zeros((0, 4), dtype=np.int64)
+    return np.hstack((np.array(kp_rows), np.array(im_rows))).astype(np.int64)

@@ -1,0 +1,192 @@
+"""FeatureTracksPipeline: detection -> pair selection -> matching -> tracks.
+
+Covers the reference's feature_tracks/ft_pipeline.py:27-261 with the same
+stage structure and npy caching layout (features/, features_utm/,
+pairwise_matches/), driving the TPU kernels of ops/sift.py and
+ops/match.py instead of the ctypes SIMD SIFT."""
+
+import os
+import timeit
+
+import numpy as np
+
+from sat_bundleadjust_tpu.tracks import build as ft_build
+from sat_bundleadjust_tpu.tracks import detection as ft_detection
+from sat_bundleadjust_tpu.tracks import matching as ft_matching
+from sat_bundleadjust_tpu.tracks.pairs import compute_pairs_to_match
+from sat_bundleadjust_tpu.utils import geo as geo_utils
+from sat_bundleadjust_tpu.utils import io as loader
+from sat_bundleadjust_tpu.utils.config import init_feature_tracks_config
+from sat_bundleadjust_tpu.utils.io import flush_print
+
+
+class FeatureTracksPipeline:
+    def __init__(self, input_dir, output_dir, local_data, tracks_config=None):
+        """Args identical to the reference (ft_pipeline.py:28-71):
+        local_data holds "images" (SatelliteImage list), "n_adj", "aoi"."""
+        self.input_dir = input_dir
+        self.output_dir = output_dir
+        os.makedirs(output_dir, exist_ok=True)
+        self.images = local_data["images"]
+        self.n_adj = local_data["n_adj"]
+        self.aoi = local_data.get("aoi")
+        self.config = init_feature_tracks_config(tracks_config)
+        self.config["in_dir"] = self.input_dir
+        self.config["out_dir"] = self.output_dir
+
+        # AOI keypoint masks (reference: ft_pipeline.py:59-71)
+        if self.config["FT_kp_aoi"] and self.aoi is not None:
+            self.mask_paths = []
+            masks_dir = os.path.join(self.output_dir, "masks")
+            os.makedirs(masks_dir, exist_ok=True)
+            for im in self.images:
+                y0, x0 = int(im.offset["row0"]), int(im.offset["col0"])
+                h, w = int(im.offset["height"]), int(im.offset["width"])
+                mask = loader.get_binary_mask_from_aoi_lonlat_within_image(
+                    h, w, im.rpc, self.aoi, alt=im.alt or 0.0
+                )
+                mask_path = os.path.join(masks_dir, loader.get_id(im.geotiff_path) + ".npy")
+                np.save(mask_path, mask[y0 : y0 + h, x0 : x0 + w])
+                self.mask_paths.append(mask_path)
+        else:
+            self.mask_paths = None
+
+    # ------------------------------------------------------------------
+
+    def run_feature_detection(self):
+        """Reference: ft_pipeline.py:73-105."""
+        image_paths = [im.geotiff_path for im in self.images]
+        offsets = [im.offset for im in self.images]
+        self.features = [
+            "{}/features/{}.npy".format(self.output_dir, loader.get_id(p)) for p in image_paths
+        ]
+        self.features_utm = [
+            "{}/features_utm/{}.npy".format(self.output_dir, loader.get_id(p)) for p in image_paths
+        ]
+        masks = self.mask_paths if self.config["FT_kp_aoi"] else None
+        cfg = dict(self.config)
+        cfg["FT_save"] = True  # downstream stages read the npy files
+        ft_detection.detect_features_image_sequence(image_paths, masks, offsets, cfg)
+
+        for npy, npy_utm, im in zip(self.features, self.features_utm, self.images):
+            if not self.config["FT_reset"] and os.path.exists(npy_utm):
+                continue
+            feats = np.load(npy, mmap_mode="r")
+            utm = ft_matching.keypoints_to_utm_coords(feats, im.rpc, im.offset, im.alt or 0.0)
+            os.makedirs(os.path.dirname(npy_utm), exist_ok=True)
+            np.save(npy_utm, utm)
+
+    def get_stereo_pairs_to_match(self):
+        """Reference: ft_pipeline.py:107-132."""
+        self.n_new = len(self.images) - self.n_adj
+        if len(self.config["FT_predefined_pairs"]) == 0:
+            init_pairs = [
+                (i, j)
+                for i in range(self.n_adj + self.n_new)
+                for j in range(i + 1, self.n_adj + self.n_new)
+            ]
+        else:
+            init_pairs = self.config["FT_predefined_pairs"]
+
+        utm_poly = lambda im: {
+            "geojson": geo_utils.utm_geojson_from_lonlat_geojson(im.lonlat_geojson),
+            "z": im.alt,
+        }
+        self.footprints = [utm_poly(im) for im in self.images]
+        self.optical_centers = [im.center for im in self.images]
+        args = [init_pairs, self.footprints, self.optical_centers]
+        if self.config["FT_filter_pairs"]:
+            self.pairs_to_match, self.pairs_to_triangulate = compute_pairs_to_match(*args)
+        else:
+            self.pairs_to_match, self.pairs_to_triangulate = compute_pairs_to_match(
+                *args, min_overlap=0, min_baseline=0
+            )
+        print("{} pairs to match".format(len(self.pairs_to_match)))
+
+    def run_feature_matching(self):
+        """Reference: ft_pipeline.py:134-163."""
+        if self.config["FT_sift_matching"] == "epipolar_based":
+            F = []
+            for (i, j) in self.pairs_to_match:
+                h = self.images[i].offset["height"]
+                w = self.images[i].offset["width"]
+                F.append(
+                    ft_matching.init_F_pair_to_match(h, w, self.images[i].rpc, self.images[j].rpc)
+                )
+        else:
+            F = None
+        self.pairwise_matches = ft_matching.match_stereo_pairs(
+            self.pairs_to_match, self.features, self.footprints, self.features_utm,
+            self.config, F
+        )
+        print("Found {} new pairwise matches".format(self.pairwise_matches.shape[0]))
+
+    def get_feature_tracks(self):
+        """Reference: ft_pipeline.py:166-195."""
+        if self.pairwise_matches.shape[0] > 0:
+            C, C_v2 = ft_build.feature_tracks_from_pairwise_matches(
+                self.features, self.pairwise_matches, self.pairs_to_triangulate
+            )
+            where_fix_pts = np.sum(~np.isnan(C[::2, :])[self.n_adj :], axis=0) == 0
+            n_pts_fix = int(np.sum(where_fix_pts))
+            if n_pts_fix > 0:
+                C = np.hstack([C[:, where_fix_pts], C[:, ~where_fix_pts]])
+                C_v2 = np.hstack([C_v2[:, where_fix_pts], C_v2[:, ~where_fix_pts]])
+            flush_print("Found {} tracks in total".format(C.shape[1]))
+        else:
+            C, C_v2, n_pts_fix = None, None, 0
+            flush_print("Found 0 tracks in total")
+
+        return {
+            "C": C,
+            "C_v2": C_v2,
+            "features": self.features,
+            "pairwise_matches": self.pairwise_matches,
+            "pairs_to_triangulate": self.pairs_to_triangulate,
+            "pairs_to_match": self.pairs_to_match,
+            "n_pts_fix": n_pts_fix,
+        }
+
+    def build_feature_tracks(self):
+        """Reference: ft_pipeline.py:197-261."""
+        print("Building feature tracks\n")
+        print("Parameters:")
+        loader.display_dict(self.config)
+
+        start = timeit.default_timer()
+        last = start
+
+        if self.n_adj == len(self.images):
+            flush_print("\nSkipping feature detection (no new images)")
+            self.run_feature_detection()  # still need the cached paths set
+        else:
+            flush_print("\nRunning feature detection...\n")
+            self.run_feature_detection()
+            stop = timeit.default_timer()
+            flush_print("\n...done in {:.2f} seconds".format(stop - last))
+            last = stop
+
+        flush_print("\nComputing pairs to match...\n")
+        self.get_stereo_pairs_to_match()
+        stop = timeit.default_timer()
+        flush_print("\n...done in {:.2f} seconds".format(stop - last))
+        last = stop
+
+        if len(self.pairs_to_match) > 0:
+            flush_print("\nMatching...\n")
+            self.run_feature_matching()
+            stop = timeit.default_timer()
+            flush_print("\n...done in {:.2f} seconds".format(stop - last))
+            last = stop
+        else:
+            self.pairwise_matches = np.zeros((0, 4), dtype=np.int64)
+            flush_print("\nSkipping matching (no pairs to match)")
+
+        flush_print("\nExtracting feature tracks...\n")
+        feature_tracks = self.get_feature_tracks()
+        stop = timeit.default_timer()
+        flush_print("\n...done in {:.2f} seconds".format(stop - last))
+        flush_print(
+            "\nFeature tracks computed in {}\n".format(loader.get_time_in_hours_mins_secs(stop - start))
+        )
+        return feature_tracks, stop - start
