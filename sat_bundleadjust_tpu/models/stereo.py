@@ -121,8 +121,8 @@ def rectifying_similarities_from_affine_fundamental_matrix(F, debug=False):
     s = np.hypot(a, b)
     R1 = (1.0 / r) * np.array([[d, -c], [c, d]])
     R2 = (1.0 / s) * np.array([[-b, a], [-a, -b]])
-    z = np.sqrt(s / r)
-    t = e / np.sqrt(r * s)
+    z = np.sqrt(r / s)
+    t = 0.5 * e / np.sqrt(r * s)
 
     S1 = np.zeros((3, 3))
     S1[0:2, 0:2] = z * R1

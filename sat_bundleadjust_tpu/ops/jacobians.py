@@ -21,6 +21,8 @@ cam_model="rpc" (affine/perspective keep the AD path — they are cheap)."""
 import jax
 import jax.numpy as jnp
 
+from sat_bundleadjust_tpu.ops import smallmat as sm
+
 from sat_bundleadjust_tpu.models import ellipsoid
 from sat_bundleadjust_tpu.models.rpc import (
     poly20_basis,
@@ -55,8 +57,12 @@ def _rotation_and_derivs(euler):
     dRy = mat([[-sb, z, cb], [z, z, z], [-cb, z, -sb]])
     dRz = mat([[-sc, -cc, z], [cc, -sc, z], [z, z, z]])
 
-    R = Rz @ Ry @ Rx
-    dR = jnp.stack([Rz @ Ry @ dRx, Rz @ dRy @ Rx, dRz @ Ry @ Rx], axis=-3)
+    RzRy = sm.mm(Rz, Ry)
+    R = sm.mm(RzRy, Rx)
+    dR = jnp.stack(
+        [sm.mm(RzRy, dRx), sm.mm(Rz, sm.mm(dRy, Rx)), sm.mm(dRz, sm.mm(Ry, Rx))],
+        axis=-3,
+    )
     return R, dR
 
 
@@ -147,7 +153,7 @@ def residuals_and_jacobians_rpc(pts3d, rpcs, cam_params, pts_ind, cam_ind, pts2d
     theta, T, C = P[:, 0:3], P[:, 3:6], P[:, 6:9]
     R, dR = _rotation_and_derivs(theta)
     Xc = X - T - C
-    Y = jnp.einsum("kij,kj->ki", R, Xc) + C
+    Y = sm.mv(R, Xc) + C
 
     lat, lon, alt = ellipsoid.ecef_to_latlon(Y[:, 0], Y[:, 1], Y[:, 2])
     proj, J_geo = _dproj_dgeo(rpc_k, lon, lat, alt)  # (K,2), (K,2,3) wrt (lat,lon,alt)
@@ -158,23 +164,23 @@ def residuals_and_jacobians_rpc(pts3d, rpcs, cam_params, pts_ind, cam_ind, pts2d
 
     J_f = _decef_dgeodetic(lat, lon, alt)  # (K, 3, 3): decef/d(lat,lon,alt)
     J_inv = _inv3x3(J_f)  # (K, 3, 3): d(lat,lon,alt)/decef
-    J_proj_Y = jnp.einsum("kij,kjl->kil", J_geo, J_inv)  # (K, 2, 3)
+    J_proj_Y = sm.mm(J_geo, J_inv)  # (K, 2, 3)
 
     w2 = weights[:, None]
     r = w2 * (proj - pts2d)
 
     # point block: dY/dX = R
-    J_pt = jnp.einsum("kij,kjl->kil", J_proj_Y, R) * w2[..., None]
+    J_pt = sm.mm(J_proj_Y, R) * w2[..., None]
 
     blocks = []
     if n_params > 0:  # theta
-        dY_dtheta = jnp.einsum("ktij,kj->kit", dR, Xc)  # (K, 3, 3): [i, theta_t]
-        blocks.append(jnp.einsum("kij,kjt->kit", J_proj_Y, dY_dtheta))
+        # dY/dtheta_t = dR[t] @ Xc -> (K, 3 [i], 3 [t])
+        dY_dtheta = jnp.stack([sm.mv(dR[:, t], Xc) for t in range(3)], axis=-1)
+        blocks.append(sm.mm(J_proj_Y, dY_dtheta))
     if n_params > 3:  # T: dY/dT = -R
-        blocks.append(jnp.einsum("kij,kjl->kil", J_proj_Y, -R))
+        blocks.append(sm.mm(J_proj_Y, -R))
     if n_params > 6:  # C: dY/dC = I - R
-        eye = jnp.eye(3)
-        blocks.append(jnp.einsum("kij,kjl->kil", J_proj_Y, eye - R))
+        blocks.append(sm.mm(J_proj_Y, jnp.eye(3, dtype=R.dtype) - R))
     if blocks:
         J_cam = jnp.concatenate(blocks, axis=-1)[:, :, :n_params] * w2[..., None]
     else:

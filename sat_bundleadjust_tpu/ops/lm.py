@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from sat_bundleadjust_tpu.ops.robust import loss_cost, loss_scale
+from sat_bundleadjust_tpu.ops import smallmat as sm
 
 
 class LMProblem(NamedTuple):
@@ -126,19 +127,11 @@ def _normal_blocks(r, J_cam, J_pt, prob: LMProblem, n_cam, n_pts, cfg: LMConfig)
     J_cam = J_cam * prob.cam_opt_mask[prob.cam_ind][:, None, None]
     J_pt = J_pt * prob.pts_opt_mask[prob.pts_ind][:, None, None]
 
-    g_cam = jax.ops.segment_sum(
-        jnp.einsum("kri,kr->ki", J_cam, r), prob.cam_ind, num_segments=n_cam
-    )
-    g_pt = jax.ops.segment_sum(
-        jnp.einsum("kri,kr->ki", J_pt, r), prob.pts_ind, num_segments=n_pts
-    )
-    U = jax.ops.segment_sum(
-        jnp.einsum("kri,krj->kij", J_cam, J_cam), prob.cam_ind, num_segments=n_cam
-    )
-    V = jax.ops.segment_sum(
-        jnp.einsum("kri,krj->kij", J_pt, J_pt), prob.pts_ind, num_segments=n_pts
-    )
-    W = jnp.einsum("kri,krj->kij", J_cam, J_pt)  # (K, P, 3)
+    g_cam = jax.ops.segment_sum(sm.mtv(J_cam, r), prob.cam_ind, num_segments=n_cam)
+    g_pt = jax.ops.segment_sum(sm.mtv(J_pt, r), prob.pts_ind, num_segments=n_pts)
+    U = jax.ops.segment_sum(sm.mtm(J_cam, J_cam), prob.cam_ind, num_segments=n_cam)
+    V = jax.ops.segment_sum(sm.mtm(J_pt, J_pt), prob.pts_ind, num_segments=n_pts)
+    W = sm.mtm(J_cam, J_pt)  # (K, P, 3)
     return r, g_cam, g_pt, U, V, W
 
 
@@ -151,19 +144,15 @@ def _damp(M_blocks, lam, floor=1e-12):
 
 def _schur_rhs(g_cam, g_pt, W, Vinv, prob, n_cam):
     """b = -g_cam + W V^-1 g_pt (reduced right-hand side)."""
-    Yg = jnp.einsum("kij,kj->ki", W, jnp.einsum("nij,nj->ni", Vinv, g_pt)[prob.pts_ind])
+    Yg = sm.mv(W, sm.mv(Vinv, g_pt)[prob.pts_ind])
     return -g_cam + jax.ops.segment_sum(Yg, prob.cam_ind, num_segments=n_cam)
 
 
 def _dense_schur_solve(U_d, W, Vinv, b, prob: LMProblem, n_cam, cam_opt_mask):
     """Assemble the dense reduced camera system and Cholesky-solve it."""
     P = U_d.shape[-1]
-    Y = jnp.einsum("kij,njl->kil", W, Vinv[prob.pts_ind])  # wrong? see below
-    # Note: Vinv[prob.pts_ind] has shape (K, 3, 3); contract W (K,P,3) with it:
-    Y = jnp.einsum("kpj,kjl->kpl", W, Vinv[prob.pts_ind])  # (K, P, 3)
-    contrib = jnp.einsum("kpl,qml->kqpm", Y[prob.pair_k1], W[prob.pair_k2])
-    # contrib above is wrong shape-wise for segment_sum; compute directly:
-    contrib = jnp.einsum("qpl,qml->qpm", Y[prob.pair_k1], W[prob.pair_k2])  # (Q,P,P)
+    Y = sm.mm(W, Vinv[prob.pts_ind])  # (K, P, 3)
+    contrib = sm.mbt(Y[prob.pair_k1], W[prob.pair_k2])  # (Q, P, P)
     pair_seg = prob.cam_ind[prob.pair_k1] * n_cam + prob.cam_ind[prob.pair_k2]
     S_off = jax.ops.segment_sum(contrib, pair_seg, num_segments=n_cam * n_cam)
     S = -S_off.reshape(n_cam, n_cam, P, P)
@@ -192,13 +181,13 @@ def _cg_schur_solve(U_d, W, Vinv, b, prob: LMProblem, n_cam, cam_opt_mask, cg_it
     m = cam_opt_mask[:, None]
 
     def matvec(x):  # x: (M, P)
-        ux = jnp.einsum("mij,mj->mi", U_d, x)
+        ux = sm.mv(U_d, x)
         wtx = jax.ops.segment_sum(
-            jnp.einsum("kpj,kp->kj", W, x[prob.cam_ind]), prob.pts_ind, num_segments=n_pts
+            sm.mtv(W, x[prob.cam_ind]), prob.pts_ind, num_segments=n_pts
         )
-        z = jnp.einsum("nij,nj->ni", Vinv, wtx)
+        z = sm.mv(Vinv, wtx)
         wz = jax.ops.segment_sum(
-            jnp.einsum("kpj,kj->kp", W, z[prob.pts_ind]), prob.cam_ind, num_segments=n_cam
+            sm.mv(W, z[prob.pts_ind]), prob.cam_ind, num_segments=n_cam
         )
         out = ux - wz
         if psum_axis is not None:
@@ -215,7 +204,7 @@ def _cg_schur_solve(U_d, W, Vinv, b, prob: LMProblem, n_cam, cam_opt_mask, cg_it
     ).astype(U_d.dtype)
 
     def apply_prec(v):
-        return jnp.einsum("mij,mj->mi", prec, v) * m + v * (1.0 - m)
+        return sm.mv(prec, v) * m + v * (1.0 - m)
 
     b = b * m
     x = jnp.zeros_like(b)
@@ -272,9 +261,9 @@ def lm_step(r, J_cam, J_pt, lam, prob: LMProblem, n_cam, n_pts, cfg: LMConfig,
 
     # back-substitute tie points: dp = -V^-1 (g_pt + W^T dcam)
     wtdc = jax.ops.segment_sum(
-        jnp.einsum("kpj,kp->kj", W, dcam[prob.cam_ind]), prob.pts_ind, num_segments=n_pts
+        sm.mtv(W, dcam[prob.cam_ind]), prob.pts_ind, num_segments=n_pts
     )
-    dpt = -jnp.einsum("nij,nj->ni", Vinv, g_pt + wtdc)
+    dpt = -sm.mv(Vinv, g_pt + wtdc)
     dpt = dpt * prob.pts_opt_mask[:, None]
     dcam = dcam * prob.cam_opt_mask[:, None]
     return dcam, dpt

@@ -205,15 +205,22 @@ def _orientation_and_descriptor(grad_x, grad_y, kp_x, kp_y, kp_sigma_oct, kp_lev
     kp_level: int (S index) of the nearest scale-space image.
     All vmapped over keypoints; patch sampling is gather-based."""
 
-    # ---- orientation: 36-bin histogram over a 3*lambda_ori*sigma window
-    R_ORI = 21  # covers 3 * 1.5 * sigma_oct for sigma_oct up to ~4.6 octave px
-    dxs, dys = np.meshgrid(np.arange(-R_ORI, R_ORI + 1), np.arange(-R_ORI, R_ORI + 1))
-    dxs = jnp.asarray(dxs.reshape(-1), dtype=jnp.float32)
-    dys = jnp.asarray(dys.reshape(-1), dtype=jnp.float32)
+    # ---- orientation: 36-bin histogram over a 3*lambda_ori*sigma window,
+    # sampled on a sigma-proportional 21x21 grid (the window is exactly
+    # covered at every scale with ~4x fewer gathers than a fixed-radius
+    # integer patch; sub-pixel positions are bilinearly interpolated)
+    N_ORI_GRID = 21
+    u1 = (np.arange(N_ORI_GRID) - (N_ORI_GRID - 1) / 2.0) / ((N_ORI_GRID - 1) / 2.0)
+    gus, gvs = np.meshgrid(u1, u1)
+    gus = jnp.asarray(gus.reshape(-1), dtype=jnp.float32)  # in [-1, 1]
+    gvs = jnp.asarray(gvs.reshape(-1), dtype=jnp.float32)
 
     def orientation(kx, ky, sigma, level):
         gx_im = grad_x[level]
         gy_im = grad_y[level]
+        win_radius = 3.0 * LAMBDA_ORI * sigma
+        dxs = win_radius * gus
+        dys = win_radius * gvs
         px = kx + dxs
         py = ky + dys
         gx = _bilinear(gx_im, px, py)
@@ -377,9 +384,16 @@ def detect_sift(image, thresh_dog=0.0133, n_octaves=8, n_scales=3, max_kp=None,
         )
         sig_inc = np.sqrt(np.maximum(sig_abs[1:] ** 2 - sig_abs[:-1] ** 2, 0.0)) / delta
 
+        # keypoint slot capacity scaled to the octave area: natural DoG
+        # extrema density is well below 1/300 px, so this keeps the strongest
+        # responses while bounding the orientation/descriptor gather work.
+        # Depends only on (H, W) -> compilation cache stays shared across
+        # images of the same size.
+        slots = int(min(max_kp_per_octave, max(128, (H * W) // 300)))
+
         kp, thetas, descs, current = _process_octave(
             current, jnp.asarray(sig_inc, dtype=jnp.float32),
-            jnp.float32(thresh_dog), n_scales, max_kp_per_octave,
+            jnp.float32(thresh_dog), n_scales, slots,
         )
 
         abs_sigma = delta / DELTA_MIN * SIGMA_MIN * (2.0 ** (np.asarray(kp["s"]) / n_scales))
