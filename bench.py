@@ -20,6 +20,11 @@ import time
 
 import numpy as np
 
+# persistent compilation cache: remote TPU compiles take minutes per
+# program; cache them across bench invocations
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
+
 
 def numpy_reference_solver(scene, max_nfev=20):
     """The reference's solver strategy on the same problem, in numpy/scipy:

@@ -87,7 +87,8 @@ class DistributedLM:
     obs2d, w) -> (2,), as built by ba/solver._obs_residual_fn."""
 
     def __init__(self, obs_fn, rpcs, cam_tail, sharded, n_cam, n_pts,
-                 cam_opt_mask, pts_opt_mask, cfg: lm_ops.LMConfig, mesh=None):
+                 cam_opt_mask, pts_opt_mask, cfg: lm_ops.LMConfig, mesh=None,
+                 n_params=None):
         self.mesh = mesh if mesh is not None else make_mesh()
         self.cfg = cfg._replace(schur_mode="cg")
         self.n_cam, self.n_pts = n_cam, n_pts
@@ -119,19 +120,27 @@ class DistributedLM:
             pts2d = obs["pts2d"][0]
             w = obs["weights"][0]
 
-            if rpcs is not None:
-                rpc_k = jax.tree.map(lambda l: l[cam_ind], rpcs)
+            if rpcs is not None and n_params is not None:
+                # closed-form chain-rule Jacobians (ops/jacobians.py)
+                from sat_bundleadjust_tpu.ops.jacobians import residuals_and_jacobians_rpc
+
+                full_cam = jnp.concatenate([cam, cam_tail], axis=1)
+                r, J_cam, J_pt = residuals_and_jacobians_rpc(
+                    pts, rpcs, full_cam, pts_ind, cam_ind, pts2d, w, n_params
+                )
             else:
-                rpc_k = jnp.zeros_like(w)
+                if rpcs is not None:
+                    rpc_k = jax.tree.map(lambda l: l[cam_ind], rpcs)
+                else:
+                    rpc_k = jnp.zeros_like(w)
 
-            def one(co, pt, ct, rk, ob, wk):
-                return obs_fn(co, pt, ct, rk, ob, wk)
+                def one(co, pt, ct, rk, ob, wk):
+                    return obs_fn(co, pt, ct, rk, ob, wk)
 
-            r = jax.vmap(one)(cam[cam_ind], pts[pts_ind], cam_tail[cam_ind], rpc_k, pts2d, w)
-            jac = jax.vmap(jax.jacfwd(one, argnums=(0, 1)))(
-                cam[cam_ind], pts[pts_ind], cam_tail[cam_ind], rpc_k, pts2d, w
-            )
-            J_cam, J_pt = jac
+                r = jax.vmap(one)(cam[cam_ind], pts[pts_ind], cam_tail[cam_ind], rpc_k, pts2d, w)
+                J_cam, J_pt = jax.vmap(jax.jacfwd(one, argnums=(0, 1)))(
+                    cam[cam_ind], pts[pts_ind], cam_tail[cam_ind], rpc_k, pts2d, w
+                )
 
             prob = lm_ops.LMProblem(
                 pts_ind=pts_ind, cam_ind=cam_ind, pts2d=pts2d, weights=w,
@@ -229,6 +238,7 @@ def run_distributed_ba(p, ls_params=None, mesh=None):
     solver = DistributedLM(
         obs_fn, p.rpcs, p.cam_params[:, p.n_params :], sharded, p.n_cam, p.n_pts,
         p.cam_opt_mask, p.pts_opt_mask, cfg, mesh=mesh,
+        n_params=p.n_params if p.cam_model == "rpc" else None,
     )
     cam0 = jnp.asarray(p.opt_block())
     pts0 = jnp.asarray(p.pts3d)
