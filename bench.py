@@ -139,7 +139,8 @@ def main():
                               rot_scale=2e-5, noise_px=0.1, seed=0)
     p = scene_to_baparams(scene, noise_pts=1.0)
 
-    solver = BASolver(p, schur_mode="dense")
+    schur_mode = os.environ.get("SATBA_BENCH_SCHUR", "cg")
+    solver = BASolver(p, schur_mode=schur_mode)
     # warmup + compile (same compiled program as the timed run)
     solver.solve({"max_iter": 2})
 

@@ -122,9 +122,16 @@ def make_fns(p):
 
 
 def build_problem(p, schur_mode=None):
-    """Assemble the static LMProblem for a BAParams instance."""
+    """Assemble the static LMProblem for a BAParams instance.
+
+    Backend-aware default: on accelerators the matrix-free CG Schur solver
+    is preferred (compact program, segment-sum matvecs); the dense Cholesky
+    path is the CPU default for small camera counts."""
     if schur_mode is None:
-        schur_mode = "dense" if p.n_cam <= 192 else "cg"
+        if jax.default_backend() != "cpu":
+            schur_mode = "cg"
+        else:
+            schur_mode = "dense" if p.n_cam <= 192 else "cg"
     pair_k1, pair_k2 = lm_ops.build_intra_track_pairs(p.pts_ind, p.n_pts)
     prob = lm_ops.LMProblem(
         pts_ind=jnp.asarray(p.pts_ind),

@@ -135,6 +135,39 @@ def match_pair(features_i, features_j, F=None, rel_thr=0.6, abs_thr=250.0,
     if valid_i.sum() == 0 or valid_j.sum() == 0:
         return None, 0, 0
 
+    if jax.default_backend() == "tpu":
+        # tiled Pallas kernel with fused epipolar gating (MXU distance
+        # tiles + VPU top-2 merge); see ops/pallas_match.py
+        from sat_bundleadjust_tpu.ops.pallas_match import pallas_2nn
+
+        desc_i = np.nan_to_num(features_i[:, 4:]).astype(np.float32)
+        desc_j = np.nan_to_num(features_j[:, 4:]).astype(np.float32)
+        pts_j = np.nan_to_num(features_j[:, :2]).astype(np.float32)
+        hp_j = np.hstack([pts_j, np.ones((len(pts_j), 1), np.float32)])
+        if F is not None:
+            h_i = np.hstack(
+                [np.nan_to_num(features_i[:, :2]), np.ones((len(features_i), 1))]
+            )
+            lines_i = (h_i @ np.asarray(F).T).astype(np.float32)
+            thr = float(epipolar_thr)
+        else:
+            lines_i = np.tile(np.array([[1.0, 0.0, 0.0]], np.float32), (len(features_i), 1))
+            thr = 1e9
+        d1, d2, nn = pallas_2nn(
+            jnp.asarray(desc_i), jnp.asarray(desc_j), jnp.asarray(lines_i),
+            jnp.asarray(hp_j), jnp.asarray(valid_i, jnp.float32),
+            jnp.asarray(valid_j, jnp.float32), thr,
+        )
+        d1 = np.asarray(d1)
+        d2 = np.asarray(d2)
+        nn_idx = np.asarray(nn)
+        if method == "relative":
+            accepted = d1 < (rel_thr ** 2) * d2
+        else:
+            accepted = d1 < abs_thr ** 2
+        accepted &= (d1 < 5e11) & valid_i
+        return _finalize_matches(features_i, features_j, nn_idx, accepted, ransac_thr)
+
     nn_idx, accepted, _ = match_descriptors_2nn(
         jnp.asarray(features_i[:, 4:]),
         jnp.asarray(features_j[:, 4:]),
@@ -148,8 +181,13 @@ def match_pair(features_i, features_j, F=None, rel_thr=0.6, abs_thr=250.0,
         epipolar_thr=epipolar_thr,
         method=method,
     )
-    accepted = np.asarray(accepted)
-    nn_idx = np.asarray(nn_idx)
+    return _finalize_matches(features_i, features_j, np.asarray(nn_idx), np.asarray(accepted), ransac_thr)
+
+
+def _finalize_matches(features_i, features_j, nn_idx, accepted, ransac_thr):
+    """Shared tail: collect accepted pairs + RANSAC geometric filtering."""
+    from sat_bundleadjust_tpu.ops.ransac import ransac_fundamental
+
     idx_i = np.where(accepted)[0]
     matches_ij = np.stack([idx_i, nn_idx[idx_i]], axis=1).astype(np.int64)
     n_ratio = matches_ij.shape[0]

@@ -1,0 +1,146 @@
+"""Pallas TPU kernel: tiled 2-nearest-neighbour descriptor matching.
+
+The counterpart of the reference's native brute-force matcher
+(3rdparty/sift/simd/sift4ctypes.cpp:125-195). The jnp implementation in
+ops/match.py scans row blocks with lax; this kernel goes one level lower:
+
+  * grid (row_block i, col_block j) — TPU grid steps run sequentially, so
+    VMEM scratch carries the running top-2 across the j dimension;
+  * the (BM, 128) x (128, BN) distance cross-term runs on the MXU via
+    pl.dot while the top-2 merge runs on the VPU;
+  * epipolar gating is fused: the kernel receives per-row epipolar lines
+    (l = F^T h_i) and per-column homogeneous points, so the gating mask
+    never materializes in HBM;
+  * descriptors stream through VMEM tile by tile — HBM traffic is
+    N1*128 + N1/BM * N2*128 floats, independent of the (N1 x N2) logical
+    distance matrix.
+
+Used on TPU backends; ops/match.py keeps the lax implementation as the
+CPU/interpret fallback (the kernel itself also runs under
+pallas interpret mode for testing)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BM = 256  # row tile (keypoints of image i)
+BN = 512  # column tile (keypoints of image j)
+BIG = 1e12
+
+
+def _kernel(di_ref, li_ref, vi_ref, dj_ref, hj_ref, vj_ref, thr_ref,
+            d1_ref, d2_ref, idx_ref, c_d1, c_d2, c_idx):
+    j = pl.program_id(1)
+    n_j = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        c_d1[:] = jnp.full((BM, 1), BIG, jnp.float32)
+        c_d2[:] = jnp.full((BM, 1), BIG, jnp.float32)
+        c_idx[:] = jnp.zeros((BM, 1), jnp.int32)
+
+    di = di_ref[:]  # (BM, 128)
+    dj = dj_ref[:]  # (BN, 128)
+    # squared euclidean distances: |a|^2 + |b|^2 - 2 a.b (MXU cross term)
+    cross = jax.lax.dot_general(
+        di, dj, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (BM, BN)
+    sq_i = jnp.sum(di * di, axis=1, keepdims=True)
+    sq_j = jnp.sum(dj * dj, axis=1, keepdims=True)
+    dist = jnp.maximum(sq_i + sq_j.T - 2.0 * cross, 0.0)
+
+    # fused epipolar gating: |l_i . h_j|^2 <= thr^2 * (l_a^2 + l_b^2)
+    li = li_ref[:]  # (BM, 3)
+    hj = hj_ref[:]  # (BN, 3)
+    num = jax.lax.dot_general(
+        li, hj, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (BM, BN)
+    denom = li[:, 0:1] ** 2 + li[:, 1:2] ** 2  # (BM, 1)
+    thr = thr_ref[0]
+    gate_ok = num * num <= (thr * thr) * denom
+
+    valid = (vi_ref[:] > 0) & (vj_ref[:].T > 0) & gate_ok  # (BM, BN)
+    dist = jnp.where(valid, dist, BIG)
+
+    # local top-2 within this column tile
+    v1 = jnp.min(dist, axis=1, keepdims=True)  # (BM, 1)
+    arg1 = jnp.argmin(dist, axis=1).astype(jnp.int32)[:, None]  # (BM, 1)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+    dist_wo = jnp.where(col_ids == arg1, BIG, dist)
+    v2 = jnp.min(dist_wo, axis=1, keepdims=True)
+    g_idx = arg1 + j * BN
+
+    # merge (c_d1, c_d2) with (v1, v2)
+    old1, old2, oldi = c_d1[:], c_d2[:], c_idx[:]
+    new1 = jnp.minimum(old1, v1)
+    newi = jnp.where(v1 < old1, g_idx, oldi)
+    # second-best = min of the losers
+    new2 = jnp.minimum(jnp.maximum(old1, v1), jnp.minimum(old2, v2))
+    c_d1[:] = new1
+    c_d2[:] = new2
+    c_idx[:] = newi
+
+    @pl.when(j == n_j - 1)
+    def _():
+        d1_ref[:] = c_d1[:]
+        d2_ref[:] = c_d2[:]
+        idx_ref[:] = c_idx[:]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_2nn(desc_i, desc_j, lines_i, hpts_j, valid_i, valid_j, epi_thr,
+               interpret=False):
+    """Run the tiled 2-NN kernel.
+
+    desc_i: (N1, 128) f32; desc_j: (N2, 128) f32
+    lines_i: (N1, 3) epipolar lines of image-i keypoints in image j
+             (pass zeros with lines_i[:, 2] = 1 to disable gating along
+             with a large epi_thr)
+    hpts_j: (N2, 3) homogeneous pixel coords of image-j keypoints
+    valid_*: (N,) float32 validity (0/1)
+    Returns (d1 (N1,), d2 (N1,), idx (N1,) int32)."""
+    n1, n2 = desc_i.shape[0], desc_j.shape[0]
+    pad1 = (-n1) % BM
+    pad2 = (-n2) % BN
+    di = jnp.pad(desc_i.astype(jnp.float32), ((0, pad1), (0, 0)))
+    dj = jnp.pad(desc_j.astype(jnp.float32), ((0, pad2), (0, 0)))
+    li = jnp.pad(lines_i.astype(jnp.float32), ((0, pad1), (0, 0)))
+    hj = jnp.pad(hpts_j.astype(jnp.float32), ((0, pad2), (0, 0)))
+    vi = jnp.pad(valid_i.astype(jnp.float32)[:, None], ((0, pad1), (0, 0)))
+    vj = jnp.pad(valid_j.astype(jnp.float32)[:, None], ((0, pad2), (0, 0)))
+    thr = jnp.asarray([epi_thr], jnp.float32)
+
+    grid = (di.shape[0] // BM, dj.shape[0] // BN)
+    d1, d2, idx = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((BM, 128), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BM, 3), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BM, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BN, 128), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BN, 3), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BN, 1), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((BM, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BM, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BM, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((di.shape[0], 1), jnp.float32),
+            jax.ShapeDtypeStruct((di.shape[0], 1), jnp.float32),
+            jax.ShapeDtypeStruct((di.shape[0], 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((BM, 1), jnp.float32),
+            pltpu.VMEM((BM, 1), jnp.float32),
+            pltpu.VMEM((BM, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(di, li, vi, dj, hj, vj, thr)
+    return d1[:n1, 0], d2[:n1, 0], idx[:n1, 0]
