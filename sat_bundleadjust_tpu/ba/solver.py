@@ -87,27 +87,42 @@ def make_fns(p):
 
     obs_fn = _obs_residual_fn(cam_model, n_params)
 
-    @jax.jit
-    def residual_fn(cam_opt, pts3d):
-        return jax.vmap(obs_fn)(
-            cam_opt[cam_ind], pts3d[pts_ind], cam_tail[cam_ind], rpcs_k, pts2d, w
+    if cam_model == "rpc":
+        # closed-form chain-rule Jacobians over the transcendental-free
+        # geodetic chain (ops/jacobians.py + ops/fastgeo.py): ~2-3x the cost
+        # of one residual evaluation vs ~12x for forward-mode AD, and no
+        # slow/inaccurate f64 trig on TPU
+        from sat_bundleadjust_tpu.ops.fastgeo import anchors_from_rpcs
+        from sat_bundleadjust_tpu.ops.jacobians import (
+            residuals_and_jacobians_rpc,
+            residuals_rpc,
         )
 
-    if cam_model == "rpc":
-        # closed-form chain-rule Jacobians (ops/jacobians.py): ~2-3x the cost
-        # of one residual evaluation vs ~12x for forward-mode AD
-        from sat_bundleadjust_tpu.ops.jacobians import residuals_and_jacobians_rpc
-
         rpcs_full = p.rpcs
+        anchors = {k: jnp.asarray(v) for k, v in anchors_from_rpcs(p.rpcs).items()}
+
+        @jax.jit
+        def residual_fn(cam_opt, pts3d):
+            full_cam = jnp.concatenate([cam_opt, cam_tail], axis=1)
+            return residuals_rpc(
+                pts3d, rpcs_full, full_cam, pts_ind, cam_ind, pts2d, w, anchors
+            )
 
         @jax.jit
         def jac_fn(cam_opt, pts3d):
             full_cam = jnp.concatenate([cam_opt, cam_tail], axis=1)
             return residuals_and_jacobians_rpc(
-                pts3d, rpcs_full, full_cam, pts_ind, cam_ind, pts2d, w, n_params
+                pts3d, rpcs_full, full_cam, pts_ind, cam_ind, pts2d, w, n_params, anchors
             )
 
     else:
+
+        @jax.jit
+        def residual_fn(cam_opt, pts3d):
+            return jax.vmap(obs_fn)(
+                cam_opt[cam_ind], pts3d[pts_ind], cam_tail[cam_ind], rpcs_k, pts2d, w
+            )
+
         jac_single = jax.jacfwd(obs_fn, argnums=(0, 1))
 
         @jax.jit

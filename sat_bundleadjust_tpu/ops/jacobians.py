@@ -30,6 +30,7 @@ from sat_bundleadjust_tpu.models.rpc import (
     poly20_basis_dy,
     poly20_basis_dz,
 )
+from sat_bundleadjust_tpu.ops.fastgeo import anchors_from_rpcs, normalized_geodetic
 from sat_bundleadjust_tpu.ops.project import adjust_pts3d
 
 _A = 6378137.0
@@ -66,12 +67,11 @@ def _rotation_and_derivs(euler):
     return R, dR
 
 
-def _decef_dgeodetic(lat_deg, lon_deg, alt):
-    """J_f = d(x, y, z)/d(lat, lon, alt) in degrees, batched -> (K, 3, 3)."""
-    phi = lat_deg * _DEG
-    lam = lon_deg * _DEG
-    sp, cp = jnp.sin(phi), jnp.cos(phi)
-    sl, cl = jnp.sin(lam), jnp.cos(lam)
+def _decef_dgeodetic(sp, cp, sl, cl, alt):
+    """J_f = d(x, y, z)/d(lat, lon, alt) in degrees, batched -> (K, 3, 3).
+
+    Takes the algebraic sin/cos of lat (sp, cp) and lon (sl, cl) directly —
+    no transcendentals."""
     w = jnp.sqrt(1.0 - _E2 * sp * sp)
     n = _A / w
     dn = _A * _E2 * sp * cp / (w ** 3)
@@ -81,7 +81,7 @@ def _decef_dgeodetic(lat_deg, lon_deg, alt):
     dz_dphi = dn * (1 - _E2) * sp + (n * (1 - _E2) + alt) * cp
     dx_dlam = -(n + alt) * cp * sl
     dy_dlam = (n + alt) * cp * cl
-    dz_dlam = jnp.zeros_like(phi)
+    dz_dlam = jnp.zeros_like(sp)
     dx_dh = cp * cl
     dy_dh = cp * sl
     dz_dh = sp
@@ -97,13 +97,11 @@ def _decef_dgeodetic(lat_deg, lon_deg, alt):
     return J
 
 
-def _dproj_dgeo(rpc_k, lon, lat, alt):
-    """(col, row) and d(col, row)/d(lat, lon, alt), batched.
+def _dproj_dgeo(rpc_k, nlat, nlon, nalt):
+    """(col, row) and d(col, row)/d(lat, lon, alt) from NORMALIZED
+    geodetic coordinates, batched.
 
     rpc_k: RPCModel pytree with per-observation leaves (leading dim K)."""
-    nlon = (lon - rpc_k.lon_offset) / rpc_k.lon_scale
-    nlat = (lat - rpc_k.lat_offset) / rpc_k.lat_scale
-    nalt = (alt - rpc_k.alt_offset) / rpc_k.alt_scale
     b = poly20_basis(nlat, nlon, nalt)
     b_dlat = poly20_basis_dx(nlat, nlon, nalt)
     b_dlon = poly20_basis_dy(nlat, nlon, nalt)
@@ -139,30 +137,59 @@ def _dproj_dgeo(rpc_k, lon, lat, alt):
     return jnp.stack([col, row], axis=-1), J
 
 
+def residuals_rpc(pts3d, rpcs, cam_params, pts_ind, cam_ind, pts2d, weights,
+                  anchors):
+    """Batched forward residuals via the transcendental-free chain (matches
+    the Jacobian path of residuals_and_jacobians_rpc bit-for-bit)."""
+    X = pts3d[pts_ind]
+    P = cam_params[cam_ind]
+    rpc_k = jax.tree.map(lambda leaf: leaf[cam_ind], rpcs)
+    anch_k = {k: v[cam_ind] for k, v in anchors.items()}
+    theta, T, C = P[:, 0:3], P[:, 3:6], P[:, 6:9]
+    R, _ = _rotation_and_derivs(theta)
+    Y = sm.mv(R, X - T - C) + C
+    nlat, nlon, nalt, _, _ = normalized_geodetic(Y, rpc_k, anch_k)
+    b = poly20_basis(nlat, nlon, nalt)
+    col = jnp.sum(b * rpc_k.samp_num, axis=-1) / jnp.sum(b * rpc_k.samp_den, axis=-1)
+    row = jnp.sum(b * rpc_k.line_num, axis=-1) / jnp.sum(b * rpc_k.line_den, axis=-1)
+    proj = jnp.stack(
+        [col * rpc_k.col_scale + rpc_k.col_offset, row * rpc_k.row_scale + rpc_k.row_offset],
+        axis=-1,
+    )
+    return weights[:, None] * (proj - pts2d)
+
+
 def residuals_and_jacobians_rpc(pts3d, rpcs, cam_params, pts_ind, cam_ind, pts2d,
-                                weights, n_params):
+                                weights, n_params, anchors):
     """Batched residuals + analytic Jacobian blocks for the rpc model.
 
     Returns (r (K, 2), J_cam (K, 2, n_params), J_pt (K, 2, 3)). The
     camera block is ordered [theta(3), T(3), C(3)][:n_params], matching
-    ba/params.py's parameter layout."""
+    ba/params.py's parameter layout. `anchors` is
+    fastgeo.anchors_from_rpcs(rpcs) (host-precomputed trig constants)."""
     X = pts3d[pts_ind]  # (K, 3)
     P = cam_params[cam_ind]  # (K, 9)
     rpc_k = jax.tree.map(lambda leaf: leaf[cam_ind], rpcs)
+    anch_k = {k: v[cam_ind] for k, v in anchors.items()}
 
     theta, T, C = P[:, 0:3], P[:, 3:6], P[:, 6:9]
     R, dR = _rotation_and_derivs(theta)
     Xc = X - T - C
     Y = sm.mv(R, Xc) + C
 
-    lat, lon, alt = ellipsoid.ecef_to_latlon(Y[:, 0], Y[:, 1], Y[:, 2])
-    proj, J_geo = _dproj_dgeo(rpc_k, lon, lat, alt)  # (K,2), (K,2,3) wrt (lat,lon,alt)
+    nlat, nlon, nalt, sin_lat, cos_lat = normalized_geodetic(Y, rpc_k, anch_k)
+    proj, J_geo = _dproj_dgeo(rpc_k, nlat, nlon, nalt)  # (K,2), (K,2,3) wrt (lat,lon,alt) deg
 
     # d(geodetic)/dY = J_f^{-1} (inverse function theorem); closed-form 3x3
-    # inverse — TPU XLA implements LuDecomposition only for f32
+    # inverse — TPU XLA implements LuDecomposition only for f32. sin/cos of
+    # lon are algebraic ratios of the ECEF coordinates.
     from sat_bundleadjust_tpu.ops.lm import _inv3x3
 
-    J_f = _decef_dgeodetic(lat, lon, alt)  # (K, 3, 3): decef/d(lat,lon,alt)
+    p_xy = jnp.sqrt(Y[:, 0] ** 2 + Y[:, 1] ** 2)
+    sin_lon = Y[:, 1] / p_xy
+    cos_lon = Y[:, 0] / p_xy
+    alt = nalt * rpc_k.alt_scale + rpc_k.alt_offset
+    J_f = _decef_dgeodetic(sin_lat, cos_lat, sin_lon, cos_lon, alt)
     J_inv = _inv3x3(J_f)  # (K, 3, 3): d(lat,lon,alt)/decef
     J_proj_Y = sm.mm(J_geo, J_inv)  # (K, 2, 3)
 

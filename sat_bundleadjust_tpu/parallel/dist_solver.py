@@ -110,6 +110,15 @@ class DistributedLM:
         self.repl = repl
 
         cfg_local = self.cfg
+        if rpcs is not None and n_params is not None:
+            from sat_bundleadjust_tpu.ops.fastgeo import anchors_from_rpcs
+
+            anchors = {
+                k: jax.device_put(jnp.asarray(v), repl)
+                for k, v in anchors_from_rpcs(self.rpcs).items()
+            }
+        else:
+            anchors = None
         obs_leaf_specs = {k: P(OBS_AXIS) for k in self.obs}
         rpc_spec = None if self.rpcs is None else jax.tree.map(lambda _: P(), self.rpcs)
 
@@ -126,7 +135,7 @@ class DistributedLM:
 
                 full_cam = jnp.concatenate([cam, cam_tail], axis=1)
                 r, J_cam, J_pt = residuals_and_jacobians_rpc(
-                    pts, rpcs, full_cam, pts_ind, cam_ind, pts2d, w, n_params
+                    pts, rpcs, full_cam, pts_ind, cam_ind, pts2d, w, n_params, anchors
                 )
             else:
                 if rpcs is not None:
@@ -162,11 +171,17 @@ class DistributedLM:
             cam_ind = obs["cam_ind"][0]
             pts2d = obs["pts2d"][0]
             w = obs["weights"][0]
-            if rpcs is not None:
-                rpc_k = jax.tree.map(lambda l: l[cam_ind], rpcs)
+            if rpcs is not None and n_params is not None:
+                from sat_bundleadjust_tpu.ops.jacobians import residuals_rpc
+
+                full_cam = jnp.concatenate([cam, cam_tail], axis=1)
+                r = residuals_rpc(pts, rpcs, full_cam, pts_ind, cam_ind, pts2d, w, anchors)
             else:
-                rpc_k = jnp.zeros_like(w)
-            r = jax.vmap(obs_fn)(cam[cam_ind], pts[pts_ind], cam_tail[cam_ind], rpc_k, pts2d, w)
+                if rpcs is not None:
+                    rpc_k = jax.tree.map(lambda l: l[cam_ind], rpcs)
+                else:
+                    rpc_k = jnp.zeros_like(w)
+                r = jax.vmap(obs_fn)(cam[cam_ind], pts[pts_ind], cam_tail[cam_ind], rpc_k, pts2d, w)
             return jax.lax.psum(loss_cost(cfg_local.loss, r, cfg_local.f_scale), OBS_AXIS)
 
         in_specs_step = (
