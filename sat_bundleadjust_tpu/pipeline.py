@@ -453,6 +453,16 @@ class BundleAdjustmentPipeline:
                 rpc_calib.write_to_file(fnames[cam_idx])
         flush_print("Bundle adjusted rpcs written at {}\n".format(out_dir))
 
+    def save_initial_matrices(self):
+        """Reference: ba_pipeline.py:361-368."""
+        out_dir = os.path.join(self.out_dir, "P_init")
+        fnames = [
+            os.path.join(out_dir, loader.get_id(im.geotiff_path) + "_pinhole.json")
+            for im in self.images
+        ]
+        loader.save_projection_matrices(fnames, self.cameras, [im.offset for im in self.images])
+        flush_print("\nInitial projection matrices written at {}\n".format(out_dir))
+
     def save_corrected_matrices(self):
         """Reference: ba_pipeline.py:370-377."""
         out_dir = os.path.join(self.out_dir, "P_adj")

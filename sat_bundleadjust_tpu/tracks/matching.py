@@ -107,6 +107,24 @@ def match_kp_within_utm_polygon(features_i, features_j, utm_i, utm_j, utm_polygo
             method="absolute",
         )
         n = [n_ratio, n_ransac]
+    elif method_cfg == "lightglue":
+        # the reference's optional torch/CUDA LightGlue path
+        # (ft_match.py:492-558) requires the LightGlue package, which is not
+        # part of this environment
+        raise NotImplementedError(
+            "FT_sift_matching='lightglue' requires the LightGlue package "
+            "(github.com/cvg/LightGlue), which is not installed; use "
+            "'epipolar_based' or 'bruteforce'"
+        )
+    elif method_cfg == "local_window":
+        # the reference's local-window matcher depends on an imscript
+        # binary (siftu.so) that is not shipped with it either
+        # (ft_match.py:406-409)
+        raise NotImplementedError(
+            "FT_sift_matching='local_window' requires the imscript siftu "
+            "binary, which the reference does not ship; use "
+            "'epipolar_based' or 'bruteforce'"
+        )
     else:
         raise ValueError("unknown FT_sift_matching: {}".format(method_cfg))
 

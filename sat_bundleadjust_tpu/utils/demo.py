@@ -4,10 +4,16 @@ Used by __graft_entry__.py, bench.py and examples: builds plausible RPC
 cameras programmatically (first-order rational models with per-camera
 parallax) and generates ground-truth-controlled BA problems of any size."""
 
+import contextlib
+
 import numpy as np
 
 from sat_bundleadjust_tpu.models import ellipsoid
 from sat_bundleadjust_tpu.models.rpc import RPCModel, stack_rpcs
+
+
+def _nullcontext():
+    return contextlib.nullcontext()
 
 
 def make_synthetic_rpc(lon0=-72.71, lat0=11.02, view_dx=0.0, view_dy=0.0,
@@ -80,12 +86,20 @@ def make_scene_arrays(n_cam=8, n_pts=2000, obs_per_pt=None, rot_scale=2e-5,
     cam_ind = ((start[:, None] + np.arange(obs_per_pt)[None, :]) % n_cam).reshape(-1)
     pts_ind = np.repeat(np.arange(n_pts), obs_per_pt)
 
-    obs = np.array(
-        project_ops.project_rpc(
-            jnp.asarray(pts3d), batched, jnp.asarray(cam_params_true),
-            jnp.asarray(pts_ind.astype(np.int32)), jnp.asarray(cam_ind.astype(np.int32)),
+    # scene generation is host-side setup: pin it to CPU so it does not pay
+    # a (slow, remote) accelerator compilation
+    try:
+        cpu0 = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu0 = None
+    ctx = jax.default_device(cpu0) if cpu0 is not None else _nullcontext()
+    with ctx:
+        obs = np.array(
+            project_ops.project_rpc(
+                jnp.asarray(pts3d), batched, jnp.asarray(cam_params_true),
+                jnp.asarray(pts_ind.astype(np.int32)), jnp.asarray(cam_ind.astype(np.int32)),
+            )
         )
-    )
     obs += noise_px * rng.randn(*obs.shape)
 
     cam_params0 = cam_params_true.copy()
