@@ -161,6 +161,18 @@ class BundleAdjustmentPipeline:
     def compute_feature_tracks(self):
         """Reference: ba_pipeline.py:219-286."""
         ft_images = [copy.copy(im) for im in self.images]
+        # feature tracking always uses the INITIAL rpcs (sequential mode
+        # passes previously-adjusted rpcs for BA, but cached keypoint UTM
+        # coordinates must stay consistent across dates —
+        # reference: ba_pipeline.py:230-238)
+        init_rpc_dir = os.path.join(self.in_dir, "../rpcs_init")
+        if os.path.exists(init_rpc_dir):
+            ft_rpcs = loader.load_rpcs_from_dir(
+                [im.geotiff_path for im in ft_images], init_rpc_dir, extension="rpc", verbose=False
+            )
+            for im, rpc in zip(ft_images, ft_rpcs):
+                im.rpc = rpc
+                im.set_footprint(alt=default_altitude(rpc))
         local_data = {"n_adj": self.n_adj, "images": ft_images, "aoi": self.aoi}
         output_dir = os.path.join(self.out_dir, "matches")
 
