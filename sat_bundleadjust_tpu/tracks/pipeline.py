@@ -184,6 +184,22 @@ class FeatureTracksPipeline:
 
         flush_print("\nExtracting feature tracks...\n")
         feature_tracks = self.get_feature_tracks()
+        if self.config.get("FT_save"):
+            # persist the portable artifacts consumed by
+            # loader.save_predefined_matches (filenames manifest + flat
+            # matches table; reference writes these in the predefined loader,
+            # ft_utils.py:479-483)
+            loader.save_list_of_paths(
+                os.path.join(self.output_dir, "filenames.txt"),
+                [im.geotiff_path for im in self.images],
+            )
+            np.save(os.path.join(self.output_dir, "matches.npy"), self.pairwise_matches)
+            loader.save_list_of_pairs(
+                os.path.join(self.output_dir, "pairs_matching.npy"), self.pairs_to_match
+            )
+            loader.save_list_of_pairs(
+                os.path.join(self.output_dir, "pairs_triangulation.npy"), self.pairs_to_triangulate
+            )
         stop = timeit.default_timer()
         flush_print("\n...done in {:.2f} seconds".format(stop - last))
         flush_print(

@@ -117,11 +117,15 @@ def _is_convex(coords):
     return True
 
 
+def _cross2d(a, b):
+    return a[0] * b[1] - a[1] * b[0]
+
+
 def _segments_intersect(p1, p2, p3, p4):
-    d1 = np.cross(p4 - p3, p1 - p3)
-    d2 = np.cross(p4 - p3, p2 - p3)
-    d3 = np.cross(p2 - p1, p3 - p1)
-    d4 = np.cross(p2 - p1, p4 - p1)
+    d1 = _cross2d(p4 - p3, p1 - p3)
+    d2 = _cross2d(p4 - p3, p2 - p3)
+    d3 = _cross2d(p2 - p1, p3 - p1)
+    d4 = _cross2d(p2 - p1, p4 - p1)
     return ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0))
 
 
