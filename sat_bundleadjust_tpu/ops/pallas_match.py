@@ -63,13 +63,19 @@ def _kernel(di_ref, li_ref, vi_ref, dj_ref, hj_ref, vj_ref, thr_ref,
     gate_ok = num * num <= (thr * thr) * denom
 
     valid = (vi_ref[:] > 0) & (vj_ref[:].T > 0) & gate_ok  # (BM, BN)
-    dist = jnp.where(valid, dist, BIG)
+    big32 = jnp.float32(BIG)  # f32 literal: a python float would enter the
+    # jaxpr as f64 under x64 and insert a truncf Mosaic cannot legalize
+    dist = jnp.where(valid, dist, big32)
 
-    # local top-2 within this column tile
+    # local top-2 within this column tile. argmin is computed as a min over
+    # masked int32 iota (the argmin primitive emits int64 indices under
+    # x64, which Mosaic rejects)
     v1 = jnp.min(dist, axis=1, keepdims=True)  # (BM, 1)
-    arg1 = jnp.argmin(dist, axis=1).astype(jnp.int32)[:, None]  # (BM, 1)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
-    dist_wo = jnp.where(col_ids == arg1, BIG, dist)
+    arg1 = jnp.min(
+        jnp.where(dist <= v1, col_ids, jnp.int32(2 ** 30)), axis=1, keepdims=True
+    )  # (BM, 1) int32
+    dist_wo = jnp.where(col_ids == arg1, big32, dist)
     v2 = jnp.min(dist_wo, axis=1, keepdims=True)
     g_idx = arg1 + j * BN
 
@@ -114,6 +120,13 @@ def pallas_2nn(desc_i, desc_j, lines_i, hpts_j, valid_i, valid_j, epi_thr,
     thr = jnp.asarray([epi_thr], jnp.float32)
 
     grid = (di.shape[0] // BM, dj.shape[0] // BN)
+    # trace the kernel with 32-bit types: under jax_enable_x64 the Mosaic
+    # lowering receives 64-bit scalars it cannot legalize
+    with jax.enable_x64(False):
+        return _call_kernel(di, li, vi, dj, hj, vj, thr, grid, n1, interpret)
+
+
+def _call_kernel(di, li, vi, dj, hj, vj, thr, grid, n1, interpret):
     d1, d2, idx = pl.pallas_call(
         _kernel,
         grid=grid,
