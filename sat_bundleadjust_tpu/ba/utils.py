@@ -9,7 +9,6 @@ reference's own pipeline consumes downstream.)"""
 
 import numpy as np
 
-from sat_bundleadjust_tpu.models import ellipsoid
 from sat_bundleadjust_tpu.models.cameras import (
     apply_projection_matrix,
     apply_rpc_projection,

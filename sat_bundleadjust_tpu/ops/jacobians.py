@@ -23,7 +23,6 @@ import jax.numpy as jnp
 
 from sat_bundleadjust_tpu.ops import smallmat as sm
 
-from sat_bundleadjust_tpu.models import ellipsoid
 from sat_bundleadjust_tpu.models.rpc import (
     poly20_basis,
     poly20_basis_dx,
@@ -31,7 +30,6 @@ from sat_bundleadjust_tpu.models.rpc import (
     poly20_basis_dz,
 )
 from sat_bundleadjust_tpu.ops.fastgeo import anchors_from_rpcs, normalized_geodetic
-from sat_bundleadjust_tpu.ops.project import adjust_pts3d
 
 _A = 6378137.0
 _E2 = 1.0 - (1.0 - 1.0 / 298.257223563) ** 2

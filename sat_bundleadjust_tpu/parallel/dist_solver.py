@@ -16,8 +16,6 @@ the (small) camera normal system — the reference's closest counterpart is
 the multiprocessing fan-out of ft_match.py:342-393, which communicates
 through the filesystem instead."""
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -238,7 +236,7 @@ class DistributedLM:
 def run_distributed_ba(p, ls_params=None, mesh=None):
     """Distributed counterpart of ba.solver.run_ba_optimization for a
     BAParams problem: shard its observation table over the mesh and solve."""
-    from sat_bundleadjust_tpu.ba.solver import _obs_residual_fn, _reproj_err, init_optimization_config
+    from sat_bundleadjust_tpu.ba.solver import _obs_residual_fn, init_optimization_config
 
     ls = init_optimization_config(ls_params)
     cfg = lm_ops.LMConfig(

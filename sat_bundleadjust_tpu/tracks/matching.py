@@ -15,7 +15,6 @@ import os
 
 import numpy as np
 
-from sat_bundleadjust_tpu.models import ellipsoid
 from sat_bundleadjust_tpu.ops.match import match_pair
 from sat_bundleadjust_tpu.utils import geo as geo_utils
 from sat_bundleadjust_tpu.utils.io import get_id
