@@ -51,6 +51,26 @@ if _platforms_env:
 
 __version__ = "0.1.0"
 
+_LAZY_EXPORTS = {
+    "BundleAdjustmentPipeline": ("sat_bundleadjust_tpu.pipeline", "BundleAdjustmentPipeline"),
+    "Scene": ("sat_bundleadjust_tpu.timeseries", "Scene"),
+    "RPCModel": ("sat_bundleadjust_tpu.models.rpc", "RPCModel"),
+    "rpc_from_rpc_file": ("sat_bundleadjust_tpu.models.rpc", "rpc_from_rpc_file"),
+    "SatelliteImage": ("sat_bundleadjust_tpu.models.cameras", "SatelliteImage"),
+    "BAParams": ("sat_bundleadjust_tpu.ba.params", "BAParams"),
+    "run_ba_optimization": ("sat_bundleadjust_tpu.ba.solver", "run_ba_optimization"),
+}
+
+
+def __getattr__(name):
+    """Lazy top-level exports (importing the package stays light)."""
+    if name in _LAZY_EXPORTS:
+        import importlib
+
+        module, attr = _LAZY_EXPORTS[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(name)
+
 
 def main(config_path):
     """Run the full pipeline from a JSON config (reference: __init__.py:10-14)."""

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -240,9 +241,11 @@ def apply_rfm(num, den, x, y, z):
 # ----------------------------------------------------------------------
 
 
+@jax.jit
 def rpc_projection(rpc: RPCModel, lon, lat, alt):
     """Ground -> image. Equivalent of rpcm RPCModel.projection (and of the
-    inverse model eval in c/rpc.c:442-452)."""
+    inverse model eval in c/rpc.c:442-452). Jitted: on remote devices the
+    eager per-op dispatch latency would dominate."""
     nlon = (lon - rpc.lon_offset) / rpc.lon_scale
     nlat = (lat - rpc.lat_offset) / rpc.lat_scale
     nalt = (alt - rpc.alt_offset) / rpc.alt_scale
@@ -275,6 +278,7 @@ def _normalized_forward(rpc: RPCModel, nlon, nlat, nalt):
     return col, row, col_dlon, col_dlat, row_dlon, row_dlat
 
 
+@partial(jax.jit, static_argnames=("n_iters",))
 def rpc_localization(rpc: RPCModel, col, row, alt, n_iters: int = NEWTON_ITERS):
     """Image -> ground by Newton iteration on the forward rational model.
 
