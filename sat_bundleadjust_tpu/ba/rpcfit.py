@@ -18,12 +18,35 @@ import numpy as np
 from sat_bundleadjust_tpu.models import ellipsoid
 from sat_bundleadjust_tpu.models.cameras import (
     apply_projection_matrix,
-    apply_rpc_projection,
     generate_point_mesh,
 )
-from sat_bundleadjust_tpu.models.rpc import RPCModel, poly20_basis
-from sat_bundleadjust_tpu.ops.project import adjust_pts3d
+from sat_bundleadjust_tpu.models.rpc import RPCModel, poly20_basis, rpc_projection_np
 from sat_bundleadjust_tpu.utils.polygons import Polygon, convex_hull_polygon
+
+
+def _np_apply_rpc_projection(rpc, pts3d):
+    """Host-side ECEF -> pixel projection (numpy twin of
+    cameras.apply_rpc_projection)."""
+    pts3d = np.asarray(pts3d)
+    lat, lon, alt = ellipsoid.ecef_to_latlon_np(pts3d[..., 0], pts3d[..., 1], pts3d[..., 2])
+    col, row = rpc_projection_np(rpc, lon, lat, alt)
+    return np.stack((col, row), axis=-1)
+
+
+def _np_adjust_pts3d(pts3d, rt_vec):
+    """Host-side correction mapping X' = R(X - T - C) + C (numpy twin of
+    ops.project.adjust_pts3d)."""
+    rt_vec = np.asarray(rt_vec)
+    pts = np.asarray(pts3d) - rt_vec[..., 3:6] - rt_vec[..., 6:9]
+    a, b, c = rt_vec[..., 0], rt_vec[..., 1], rt_vec[..., 2]
+    cx, sx = np.cos(a), np.sin(a)
+    cy, sy = np.cos(b), np.sin(b)
+    cz, sz = np.cos(c), np.sin(c)
+    x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
+    y, z = cx * y - sx * z, sx * y + cx * z
+    x, z = cy * x + sy * z, -sy * x + cy * z
+    x, y = cz * x - sz * y, sz * x + cz * y
+    return np.stack([x, y, z], axis=-1) + rt_vec[..., 6:9]
 
 MAX_IRLS_ITERS = 20
 IRLS_TOL = 1e-2
@@ -128,9 +151,64 @@ _irls_coeffs_jit = jax.jit(_irls_coeffs)
 _irls_coeffs_vmap = jax.jit(jax.vmap(_irls_coeffs))
 
 
+def _irls_coeffs_np(target_norm, locs_norm):
+    """Numpy twin of _irls_coeffs: the 39x39 normal equations are trivial
+    host work, and some deployments expose no CPU jax backend (so every
+    jitted call would remote-compile). Same fixed point."""
+    from sat_bundleadjust_tpu.models.rpc import _np_basis
+
+    C = target_norm[:, 0:1]
+    R = target_norm[:, 1:2]
+    lon, lat, alt = locs_norm[:, 0], locs_norm[:, 1], locs_norm[:, 2]
+    basis = _np_basis(lat, lon, alt)
+    pv = basis[:, 1:]
+    MC = np.concatenate([np.ones_like(C), pv, -C * pv], axis=1)
+    MR = np.concatenate([np.ones_like(R), pv, -R * pv], axis=1)
+    reg = (REG_H ** 2) * np.eye(39)
+
+    def solve(M, t, W=None):
+        if W is None:
+            A = M.T @ M
+            b = M.T @ t
+        else:
+            MW = M * W[:, None]
+            A = MW.T @ M + reg
+            b = MW.T @ t
+        return np.linalg.solve(A, b)[:, 0]
+
+    def coeffs_from(J):
+        return J[:20], np.concatenate([[1.0], J[20:]])
+
+    def rmse(JR, JC):
+        rn, rd = coeffs_from(JR)
+        cn, cd = coeffs_from(JC)
+        row_pred = (basis @ rn) / (basis @ rd)
+        col_pred = (basis @ cn) / (basis @ cd)
+        return np.sqrt(0.5 * (np.mean((col_pred - C[:, 0]) ** 2) + np.mean((row_pred - R[:, 0]) ** 2)))
+
+    JR = solve(MR, R)
+    JC = solve(MC, C)
+    err = rmse(JR, JC)
+    for _ in range(MAX_IRLS_ITERS):
+        _, rd = coeffs_from(JR)
+        _, cd = coeffs_from(JC)
+        WR = 1.0 / (basis @ rd) ** 2
+        WC = 1.0 / (basis @ cd) ** 2
+        JR = solve(MR, R, WR)
+        JC = solve(MC, C, WC)
+        err_prev, err = err, rmse(JR, JC)
+        if abs(err_prev - err) < IRLS_TOL * 1e-3:
+            break
+    rn, rd = coeffs_from(JR)
+    cn, cd = coeffs_from(JC)
+    return np.concatenate([rn, rd, cn, cd])
+
+
 def weighted_lsq(target, input_locs) -> RPCModel:
     """Fit an RPC from Nx2 pixel targets and Nx3 (lon, lat, alt) inputs
-    (reference: ba_rpcfit.weighted_lsq, ba_rpcfit.py:88-153)."""
+    (reference: ba_rpcfit.weighted_lsq, ba_rpcfit.py:88-153). Host-side
+    numpy path; the jitted/vmappable twin (_irls_coeffs) serves batched
+    device fitting."""
     target = np.asarray(target)
     input_locs = np.asarray(input_locs)
     rpc = initialize_rpc(target, input_locs)
@@ -149,7 +227,7 @@ def weighted_lsq(target, input_locs) -> RPCModel:
         ],
         axis=1,
     )
-    x = np.asarray(_irls_coeffs_jit(jnp.asarray(t_norm), jnp.asarray(l_norm)))
+    x = _irls_coeffs_np(t_norm, l_norm)
     return rpc._replace(
         line_num=x[0:20], line_den=x[20:40], samp_num=x[40:60], samp_den=x[60:80]
     )
@@ -158,10 +236,8 @@ def weighted_lsq(target, input_locs) -> RPCModel:
 def check_errors(rpc_calib: RPCModel, input_locs, target):
     """Reprojection error of the calibrated RPC on the fit grid
     (reference: ba_rpcfit.py:359-370)."""
-    col, row = rpc_calib.projection(
-        jnp.asarray(input_locs[:, 0]), jnp.asarray(input_locs[:, 1]), jnp.asarray(input_locs[:, 2])
-    )
-    pred = np.stack([np.asarray(col), np.asarray(row)], axis=1)
+    col, row = rpc_calib.projection(input_locs[:, 0], input_locs[:, 1], input_locs[:, 2])
+    pred = np.stack([col, row], axis=1)
     return np.linalg.norm(pred - np.asarray(target), axis=1)
 
 
@@ -185,7 +261,7 @@ def _fit_loop(project_grid_fn, original_rpc: RPCModel, crop_offset, pts3d_ba,
         alt_offset = float(np.asarray(original_rpc.alt_offset))
     if alt_scale is None:
         alt_scale = float(np.asarray(original_rpc.alt_scale))
-    _, _, alts_ba = ellipsoid.ecef_to_latlon(pts3d_ba[:, 0], pts3d_ba[:, 1], pts3d_ba[:, 2])
+    _, _, alts_ba = ellipsoid.ecef_to_latlon_np(pts3d_ba[:, 0], pts3d_ba[:, 1], pts3d_ba[:, 2])
     deviation = abs(alt_offset - float(np.median(np.asarray(alts_ba))))
     if deviation > 5:
         print(
@@ -207,12 +283,9 @@ def _fit_loop(project_grid_fn, original_rpc: RPCModel, crop_offset, pts3d_ba,
             [y0 - margin, y0 + h + margin, n_samples],
             [min_alt, max_alt, n_samples],
         )
-        lons, lats = original_rpc.localization(
-            jnp.asarray(cols), jnp.asarray(lins), jnp.asarray(alts)
-        )
-        lons, lats = np.asarray(lons), np.asarray(lats)
-        x, y, z = ellipsoid.latlon_to_ecef(jnp.asarray(lats), jnp.asarray(lons), jnp.asarray(alts))
-        pts3d = np.stack([np.asarray(x), np.asarray(y), np.asarray(z)], axis=1)
+        lons, lats = original_rpc.localization(cols, lins, alts)
+        x, y, z = ellipsoid.latlon_to_ecef_np(lats, lons, alts)
+        pts3d = np.stack([x, y, z], axis=1)
 
         target = np.asarray(project_grid_fn(pts3d))
         input_locs = np.stack([lons, lats, alts], axis=1)
@@ -220,7 +293,7 @@ def _fit_loop(project_grid_fn, original_rpc: RPCModel, crop_offset, pts3d_ba,
         rpc_calib = weighted_lsq(target, input_locs)
         rmse_err = check_errors(rpc_calib, input_locs, target)
 
-        reproj = np.asarray(apply_rpc_projection(rpc_calib, jnp.asarray(pts3d)))
+        reproj = _np_apply_rpc_projection(rpc_calib, pts3d)
         covered = check_correspondences_are_good(reproj, image_boundary)
         if margin > 1000 or covered:
             return rpc_calib, rmse_err, margin
@@ -237,8 +310,8 @@ def fit_Rt_corrected_rpc(Rt_vec, global_transform, original_rpc: RPCModel, crop_
 
     def project_grid(pts3d):
         p = pts3d + global_transform if global_transform is not None else pts3d
-        p_adj = adjust_pts3d(jnp.asarray(p), jnp.asarray(Rt_vec))
-        return apply_rpc_projection(original_rpc, p_adj)
+        p_adj = _np_adjust_pts3d(p, Rt_vec)
+        return _np_apply_rpc_projection(original_rpc, p_adj)
 
     return _fit_loop(project_grid, original_rpc, crop_offset, pts3d_adj_for_alt, n_samples=n_samples)
 
@@ -249,7 +322,7 @@ def fit_rpc_from_projection_matrix(P, global_transform, original_rpc: RPCModel, 
     (reference: ba_rpcfit.fit_rpc_from_projection_matrix, ba_rpcfit.py:201-267)."""
     pts3d_ba = np.asarray(pts3d_ba)
     pts3d_adj_for_alt = pts3d_ba - global_transform if global_transform is not None else pts3d_ba
-    _, _, alts = ellipsoid.ecef_to_latlon(
+    _, _, alts = ellipsoid.ecef_to_latlon_np(
         pts3d_adj_for_alt[:, 0], pts3d_adj_for_alt[:, 1], pts3d_adj_for_alt[:, 2]
     )
     alt_offset = float(np.median(np.asarray(alts)))

@@ -99,27 +99,124 @@ def _ransac_core(pts1, pts2, valid, thr, seed, n_hypotheses=N_HYPOTHESES):
     return F[best], inl[best], counts[best]
 
 
+def _np_eight_point(pts1, pts2):
+    """Numpy normalized 8-point (batched over leading dims)."""
+    def normalize(pts):
+        c = pts.mean(axis=-2, keepdims=True)
+        centered = pts - c
+        scale = np.sqrt(2.0) / np.maximum(
+            np.mean(np.linalg.norm(centered, axis=-1), axis=-1), 1e-12
+        )
+        T = np.zeros(pts.shape[:-2] + (3, 3))
+        T[..., 0, 0] = scale
+        T[..., 1, 1] = scale
+        T[..., 0, 2] = -scale * c[..., 0, 0]
+        T[..., 1, 2] = -scale * c[..., 0, 1]
+        T[..., 2, 2] = 1.0
+        return centered * scale[..., None, None], T
+
+    n1, T1 = normalize(pts1)
+    n2, T2 = normalize(pts2)
+    x1, y1 = n1[..., 0], n1[..., 1]
+    x2, y2 = n2[..., 0], n2[..., 1]
+    A = np.stack(
+        [x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, np.ones_like(x1)], axis=-1
+    )
+    _, _, vh = np.linalg.svd(A)
+    F = vh[..., -1, :].reshape(A.shape[:-2] + (3, 3))
+    u, s, vt = np.linalg.svd(F)
+    s[..., 2] = 0.0
+    F = u @ (s[..., None] * vt)
+    F = np.swapaxes(T2, -1, -2) @ F @ T1
+    norm = np.linalg.norm(F.reshape(F.shape[:-2] + (9,)), axis=-1)
+    return F / np.maximum(norm, 1e-30)[..., None, None]
+
+
+def _np_sym_err(F, pts1, pts2):
+    h1 = np.concatenate([pts1, np.ones_like(pts1[:, :1])], axis=-1)
+    h2 = np.concatenate([pts2, np.ones_like(pts2[:, :1])], axis=-1)
+    l2 = h1 @ np.swapaxes(F, -1, -2)
+    l1 = h2 @ F
+    num = np.sum(l2 * h2, axis=-1)
+    d2 = num ** 2 / np.maximum(l2[..., 0] ** 2 + l2[..., 1] ** 2, 1e-30)
+    d1 = num ** 2 / np.maximum(l1[..., 0] ** 2 + l1[..., 1] ** 2, 1e-30)
+    return np.maximum(d1, d2)
+
+
+def _ransac_numpy(pts1, pts2, valid, thr, seed, n_hypotheses, refit):
+    """Pure-numpy RANSAC (host fallback when no CPU jax backend exists)."""
+    rng = np.random.RandomState(seed)
+    idx_pool = np.where(valid)[0]
+    if len(idx_pool) < MIN_SAMPLES:
+        return None, None
+    samples = idx_pool[rng.randint(0, len(idx_pool), size=(n_hypotheses, MIN_SAMPLES))]
+    F = _np_eight_point(pts1[samples].astype(np.float32), pts2[samples].astype(np.float32))
+    errs = _np_sym_err(F, pts1, pts2)
+    inl = (errs < thr ** 2) & valid[None, :]
+    counts = inl.sum(axis=-1)
+    best = int(np.argmax(counts))
+    if counts[best] < MIN_SAMPLES:
+        return None, None
+    F_best, inliers = F[best], inl[best]
+    if refit:
+        F_best = _np_eight_point(pts1[inliers].astype(np.float32), pts2[inliers].astype(np.float32))
+        errs = _np_sym_err(F_best, pts1, pts2)
+        inliers = (errs < thr ** 2) & valid
+    return np.asarray(F_best, dtype=np.float64), inliers
+
+
+def _preferred_device():
+    """RANSAC runs on the host CPU device when the default backend is an
+    accelerator: the batched-SVD hypothesis program is tiny (ms of work),
+    and the axon TPU AOT compiler aborts on it (internal
+    'Check failed: buffer != nullptr')."""
+    import jax
+
+    if jax.default_backend() != "cpu":
+        try:
+            return jax.devices("cpu")[0]
+        except RuntimeError:
+            return None
+    return None
+
+
 def ransac_fundamental(pts1, pts2, thr=0.3, seed=0, n_hypotheses=N_HYPOTHESES,
                        refit=True):
     """RANSAC fundamental matrix from Nx2 matched points.
 
     Returns (F (3, 3) numpy, inlier mask (N,) bool numpy) or (None, None)."""
+    import contextlib
+
     pts1 = np.asarray(pts1, dtype=np.float64)
     pts2 = np.asarray(pts2, dtype=np.float64)
     n = pts1.shape[0]
     if n < MIN_SAMPLES:
         return None, None
     valid = np.isfinite(pts1[:, 0]) & np.isfinite(pts2[:, 0])
-    F, inliers, count = _ransac_core(
-        jnp.asarray(pts1), jnp.asarray(pts2), jnp.asarray(valid),
-        float(thr), int(seed), n_hypotheses=n_hypotheses,
-    )
-    inliers = np.asarray(inliers)
-    if int(count) < MIN_SAMPLES:
-        return None, None
-    if refit:
-        # least-squares refit on all inliers, then re-derive the inlier set
-        F = _eight_point(jnp.asarray(pts1[inliers]), jnp.asarray(pts2[inliers]))
-        errs = np.asarray(_sym_epipolar_err(F, jnp.asarray(pts1), jnp.asarray(pts2)))
-        inliers = (errs < thr ** 2) & valid
+    if jax.default_backend() != "cpu" and _preferred_device() is None:
+        # no CPU jax backend in this deployment (axon-only): pure numpy path
+        return _ransac_numpy(pts1, pts2, valid, thr, seed, n_hypotheses, refit)
+    dev = _preferred_device()
+
+    def put(x):
+        # committing the inputs to the device pins the jitted computation
+        # there (jax.default_device alone is not honored under the axon
+        # platform aliasing)
+        a = jnp.asarray(x)
+        return jax.device_put(a, dev) if dev is not None else a
+
+    ctx = jax.default_device(dev) if dev is not None else contextlib.nullcontext()
+    with ctx:
+        F, inliers, count = _ransac_core(
+            put(pts1), put(pts2), put(valid),
+            float(thr), int(seed), n_hypotheses=n_hypotheses,
+        )
+        inliers = np.asarray(inliers)
+        if int(count) < MIN_SAMPLES:
+            return None, None
+        if refit:
+            # least-squares refit on all inliers, then re-derive the inliers
+            F = _eight_point(put(pts1[inliers]), put(pts2[inliers]))
+            errs = np.asarray(_sym_epipolar_err(F, put(pts1), put(pts2)))
+            inliers = (errs < thr ** 2) & valid
     return np.asarray(F), inliers

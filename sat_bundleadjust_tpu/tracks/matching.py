@@ -25,12 +25,15 @@ def keypoints_to_utm_coords(im_features, im_rpc, im_offset, alt):
     footprint altitude (reference: ft_match.py:190-217)."""
     import jax.numpy as jnp
 
+    from sat_bundleadjust_tpu.utils.hostdev import sized_compute
+
     im_features = np.asarray(im_features)
     n_kp = int(np.sum(~np.isnan(im_features[:, 0])))
     cols = im_features[:n_kp, 0] + im_offset["col0"]
     rows = im_features[:n_kp, 1] + im_offset["row0"]
     alts = np.full(n_kp, float(alt))
-    lon, lat = im_rpc.localization(jnp.asarray(cols), jnp.asarray(rows), jnp.asarray(alts))
+    with sized_compute(n_kp):
+        lon, lat = im_rpc.localization(jnp.asarray(cols), jnp.asarray(rows), jnp.asarray(alts))
     east, north = geo_utils.utm_from_lonlat(np.asarray(lon), np.asarray(lat))
     utm = np.stack((east, north), axis=1)
     rest = im_features[n_kp:, :2].copy()
@@ -157,10 +160,13 @@ def init_F_pair_to_match(h, w, rpc_i, rpc_j):
 
     col_range = [(1.0 / (2 * n)) * w, ((2 * n - 1.0) / (2 * n)) * w, n]
     row_range = [(1.0 / (2 * n)) * h, ((2 * n - 1.0) / (2 * n)) * h, n]
+    from sat_bundleadjust_tpu.utils.hostdev import small_compute
+
     cols, rows, alts = generate_point_mesh(col_range, row_range, [m, M, n])
-    lons, lats = rpc_i.localization(jnp.asarray(cols), jnp.asarray(rows), jnp.asarray(alts))
-    x1, y1 = rpc_i.projection(lons, lats, jnp.asarray(alts))
-    x2, y2 = rpc_j.projection(lons, lats, jnp.asarray(alts))
+    with small_compute():
+        lons, lats = rpc_i.localization(jnp.asarray(cols), jnp.asarray(rows), jnp.asarray(alts))
+        x1, y1 = rpc_i.projection(lons, lats, jnp.asarray(alts))
+        x2, y2 = rpc_j.projection(lons, lats, jnp.asarray(alts))
     matches = np.vstack([np.asarray(x1), np.asarray(y1), np.asarray(x2), np.asarray(y2)]).T
     return affine_fundamental_matrix(matches)
 

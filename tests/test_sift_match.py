@@ -96,3 +96,23 @@ def test_ransac_fundamental_rejects_outliers():
     true_out = set(out_idx.tolist())
     assert len(inlier_set & true_out) < 10
     assert len(inlier_set) > 100
+
+
+def test_ransac_numpy_fallback_matches_jax():
+    from sat_bundleadjust_tpu.ops import ransac as R
+
+    rng = np.random.RandomState(7)
+    n = 150
+    pts1 = rng.uniform(0, 400, (n, 2))
+    pts2 = pts1 + np.stack([15.0 / rng.uniform(1, 2, n), np.zeros(n)], axis=1)
+    pts2 += 0.05 * rng.randn(n, 2)
+    out = rng.choice(n, 25, replace=False)
+    pts2[out] += rng.uniform(-50, 50, (25, 2))
+    valid = np.ones(n, bool)
+    F_np, inl_np = R._ransac_numpy(pts1, pts2, valid, 0.3, 0, 512, True)
+    F_jx, inl_jx = R.ransac_fundamental(pts1, pts2, thr=0.3)
+    assert F_np is not None and F_jx is not None
+    # both reject the bulk of injected outliers
+    assert np.sum(inl_np[out]) < 8
+    assert np.sum(inl_jx[out]) < 8
+    assert inl_np.sum() > 90 and inl_jx.sum() > 90
