@@ -133,6 +133,16 @@ def apply_rpc_projection(rpc: RPCModel, pts3d):
     return jnp.stack((col, row), axis=-1)
 
 
+def apply_rpc_projection_np(rpc: RPCModel, pts3d):
+    """Host-side numpy twin of apply_rpc_projection."""
+    from sat_bundleadjust_tpu.models.rpc import rpc_projection_np
+
+    pts3d = np.asarray(pts3d)
+    lat, lon, alt = ellipsoid.ecef_to_latlon_np(pts3d[..., 0], pts3d[..., 1], pts3d[..., 2])
+    col, row = rpc_projection_np(rpc, lon, lat, alt)
+    return np.stack((col, row), axis=-1)
+
+
 # ----------------------------------------------------------------------
 # RPC -> matrix approximations
 # ----------------------------------------------------------------------
@@ -176,9 +186,9 @@ def approx_rpc_as_proj_matrix(rpc: RPCModel, col_range, lin_range, alt_range):
     """Least-squares perspective fit of an RPC over a 3-D sample grid
     (reference: cam_utils.py:234-277)."""
     cols, lins, alts = generate_point_mesh(col_range, lin_range, alt_range)
-    lons, lats = rpc.localization(jnp.asarray(cols), jnp.asarray(lins), jnp.asarray(alts))
-    x, y, z = ellipsoid.latlon_to_ecef(lats, lons, jnp.asarray(alts))
-    world_points = np.vstack([np.asarray(x), np.asarray(y), np.asarray(z)]).T
+    lons, lats = rpc.localization(cols, lins, alts)
+    x, y, z = ellipsoid.latlon_to_ecef_np(lats, lons, alts)
+    world_points = np.vstack([x, y, z]).T
     image_points = np.vstack([cols, lins]).T
     P = camera_matrix(world_points, image_points)
     proj = P @ np.hstack((world_points, np.ones((world_points.shape[0], 1)))).T

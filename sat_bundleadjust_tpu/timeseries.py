@@ -378,9 +378,7 @@ class Scene:
     def compute_reprojection_error_before_and_after_bundle_adjust(self):
         """Triangulate + reproject with initial and adjusted RPCs
         (reference: ba_timeseries.py:482-514)."""
-        import jax.numpy as jnp
-
-        from sat_bundleadjust_tpu.models.cameras import apply_rpc_projection
+        from sat_bundleadjust_tpu.models.cameras import apply_rpc_projection_np
         from sat_bundleadjust_tpu.ops.triangulate import init_pts3d
 
         im_fnames = [im.geotiff_path for im in self.ba_pipeline.images]
@@ -402,8 +400,8 @@ class Scene:
         for cam_idx in range(n_cam):
             sel = np.where(~np.isnan(C[2 * cam_idx]))[0]
             obs2d = C[(cam_idx * 2) : (cam_idx * 2 + 2), sel].T
-            proj_b = np.asarray(apply_rpc_projection(rpcs_init[cam_idx], jnp.asarray(pts3d_before[sel])))
-            proj_a = np.asarray(apply_rpc_projection(rpcs_ba[cam_idx], jnp.asarray(pts3d_after[sel])))
+            proj_b = apply_rpc_projection_np(rpcs_init[cam_idx], pts3d_before[sel])
+            proj_a = apply_rpc_projection_np(rpcs_ba[cam_idx], pts3d_after[sel])
             err_before.extend(np.linalg.norm(proj_b - obs2d, axis=1).tolist())
             err_after.extend(np.linalg.norm(proj_a - obs2d, axis=1).tolist())
         return float(np.mean(err_before)), float(np.mean(err_after))

@@ -246,18 +246,13 @@ def geojson_polygon_convex_hull(coords_array):
 
 def lonlat_geojson_from_geotiff_crop(rpc, crop_offset, z=0.0):
     """Footprint polygon of an image crop at altitude z
-    (reference: geo_utils.py:100-114)."""
-    import jax.numpy as jnp
-
-    from sat_bundleadjust_tpu.utils.hostdev import small_compute
-
+    (reference: geo_utils.py:100-114). Pure host-side numpy."""
     col0, row0 = crop_offset["col0"], crop_offset["row0"]
     w, h = crop_offset["width"], crop_offset["height"]
-    with small_compute():
-        cols = jnp.array([col0, col0, col0 + w, col0 + w, col0], dtype=jnp.float64)
-        rows = jnp.array([row0, row0 + h, row0 + h, row0, row0], dtype=jnp.float64)
-        alts = jnp.full(5, float(z), dtype=jnp.float64)
-        lons, lats = rpc.localization(cols, rows, alts)
+    cols = np.array([col0, col0, col0 + w, col0 + w, col0], dtype=np.float64)
+    rows = np.array([row0, row0 + h, row0 + h, row0, row0], dtype=np.float64)
+    alts = np.full(5, float(z))
+    lons, lats = rpc.localization(cols, rows, alts)
     return geojson_polygon(np.vstack((np.asarray(lons), np.asarray(lats))).T)
 
 
