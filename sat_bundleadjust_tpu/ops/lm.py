@@ -299,10 +299,16 @@ def build_solve(residual_fn, jac_fn, n_cam, n_pts, prob: LMProblem, cfg: LMConfi
     def cost_of(r):
         return loss_cost(cfg.loss, r, cfg.f_scale)
 
+    n_obs = int(prob.pts2d.shape[0])
+
     @jax.jit
     def run(cam, pts, max_iter):
         cost0 = cost_of(residual_fn(cam, pts))
-        cost_floor = 1e-15 * jnp.maximum(cost0, 1.0)
+        # absolute floor: cost is in squared (weighted) pixels; 1e-14 px^2
+        # per observation is far below any physical noise, so reaching it
+        # means "exactly solved" (prevents dozens of pointless iterations
+        # on synthetic noise-free problems)
+        cost_floor = jnp.maximum(1e-15 * jnp.maximum(cost0, 1.0), 1e-14 * n_obs)
 
         def body(state):
             cam, pts, lam, cost, n_iter, done = state

@@ -209,7 +209,8 @@ class DistributedLM:
         lam = self.cfg.lambda0
         cost = self.cost(cam, pts)
         cost0 = cost
-        cost_floor = 1e-15 * max(cost0, 1.0)
+        n_obs = int(np.asarray(self.obs["weights"]).size)
+        cost_floor = max(1e-15 * max(cost0, 1.0), 1e-14 * n_obs)
         iters = 0
         for _ in range(self.cfg.max_iter):
             dcam, dpt, _ = self._step(
