@@ -240,15 +240,29 @@ def _orientation_and_descriptor(grad_x, grad_y, kp_x, kp_y, kp_sigma_oct, kp_lev
         # circular smoothing (6 box passes, IPOL style)
         for _ in range(6):
             hist = (jnp.roll(hist, 1) + hist + jnp.roll(hist, -1)) / 3.0
-        b = jnp.argmax(hist)
-        # parabolic peak interpolation
-        hm = hist[(b - 1) % N_BINS]
-        h0 = hist[b]
-        hp = hist[(b + 1) % N_BINS]
-        denom = hm - 2 * h0 + hp
-        delta = jnp.where(jnp.abs(denom) < 1e-12, 0.0, 0.5 * (hm - hp) / denom)
-        theta = (b.astype(jnp.float32) + delta + 0.5) * (2 * jnp.pi / N_BINS) - jnp.pi
-        return theta
+
+        def peak_theta(b):
+            # parabolic peak interpolation around bin b
+            hm = hist[(b - 1) % N_BINS]
+            h0 = hist[b]
+            hp = hist[(b + 1) % N_BINS]
+            denom = hm - 2 * h0 + hp
+            delta = jnp.where(jnp.abs(denom) < 1e-12, 0.0, 0.5 * (hm - hp) / denom)
+            return (b.astype(jnp.float32) + delta + 0.5) * (2 * jnp.pi / N_BINS) - jnp.pi
+
+        b1 = jnp.argmax(hist)
+        theta1 = peak_theta(b1)
+        # secondary orientation: the best local maximum outside the
+        # principal peak's immediate neighborhood, kept when >= 0.8 * max
+        # (IPOL emits a keypoint per such peak; LibSift KeyPoint.cpp)
+        ids = jnp.arange(N_BINS)
+        circ_d = jnp.minimum(jnp.abs(ids - b1), N_BINS - jnp.abs(ids - b1))
+        is_local_max = (hist >= jnp.roll(hist, 1)) & (hist >= jnp.roll(hist, -1))
+        cand = jnp.where((circ_d > 1) & is_local_max, hist, -1.0)
+        b2 = jnp.argmax(cand)
+        theta2 = peak_theta(b2)
+        valid2 = cand[b2] >= 0.8 * hist[b1]
+        return theta1, theta2, valid2
 
     # ---- descriptor: 4x4 spatial x 8 orientation histograms
     # sample an SxS grid in the rotated, scale-normalized frame
@@ -304,9 +318,10 @@ def _orientation_and_descriptor(grad_x, grad_y, kp_x, kp_y, kp_sigma_oct, kp_lev
         norm2 = jnp.linalg.norm(d) + 1e-12
         return jnp.minimum(jnp.floor(512.0 * d / norm2), 255.0)
 
-    thetas = jax.vmap(orientation)(kp_x, kp_y, kp_sigma_oct, kp_level)
+    thetas, thetas2, valid2 = jax.vmap(orientation)(kp_x, kp_y, kp_sigma_oct, kp_level)
     descs = jax.vmap(descriptor)(kp_x, kp_y, kp_sigma_oct, kp_level, thetas)
-    return thetas, descs
+    descs2 = jax.vmap(descriptor)(kp_x, kp_y, kp_sigma_oct, kp_level, thetas2)
+    return thetas, descs, thetas2, descs2, valid2 & valid
 
 
 @partial(jax.jit, static_argnames=("n_scales", "max_kp_per_octave"))
@@ -328,11 +343,11 @@ def _process_octave(current, sig_inc, thresh_dog, n_scales, max_kp_per_octave):
 
     sigma_oct = SIGMA_MIN / DELTA_MIN * 2 ** (kp["s"] / n_scales)
     level = jnp.clip(jnp.round(kp["s"]).astype(jnp.int32), 0, n_scales + 2)
-    thetas, descs = _orientation_and_descriptor(
+    thetas, descs, thetas2, descs2, valid2 = _orientation_and_descriptor(
         gx, gy, kp["x"], kp["y"], sigma_oct, level, kp["valid"]
     )
     next_seed = _downsample2(ss[n_scales])
-    return kp, thetas, descs, next_seed
+    return kp, (thetas, descs, thetas2, descs2, valid2), next_seed
 
 
 _MAX_BLUR_RADIUS = 13  # 4-sigma support for the largest incremental blur (~3.1 octave px)
@@ -391,7 +406,7 @@ def detect_sift(image, thresh_dog=0.0133, n_octaves=8, n_scales=3, max_kp=None,
         # images of the same size.
         slots = int(min(max_kp_per_octave, max(128, (H * W) // 300)))
 
-        kp, thetas, descs, current = _process_octave(
+        kp, (thetas, descs, thetas2, descs2, valid2), current = _process_octave(
             current, jnp.asarray(sig_inc, dtype=jnp.float32),
             jnp.float32(thresh_dog), n_scales, slots,
         )
@@ -405,6 +420,18 @@ def detect_sift(image, thresh_dog=0.0133, n_octaves=8, n_scales=3, max_kp=None,
                 "theta": np.asarray(thetas),
                 "desc": np.asarray(descs),
                 "valid": np.asarray(kp["valid"]),
+            }
+        )
+        # secondary-orientation keypoints (same location/scale, second
+        # histogram peak >= 0.8 max — IPOL emits these as extra keypoints)
+        results.append(
+            {
+                "col": np.asarray(kp["x"]) * delta,
+                "row": np.asarray(kp["y"]) * delta,
+                "scale": abs_sigma,
+                "theta": np.asarray(thetas2),
+                "desc": np.asarray(descs2),
+                "valid": np.asarray(valid2),
             }
         )
         delta *= 2.0
