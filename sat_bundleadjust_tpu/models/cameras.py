@@ -66,7 +66,13 @@ class SatelliteImage:
 
 
 def decompose_perspective_camera(P):
-    """P = K R [I | -C] via RQ decomposition (reference: cam_utils.py:45-75)."""
+    """P = K R [I | -C] via RQ decomposition (reference: cam_utils.py:45-75).
+
+    NOTE: the reference applies its diag-sign fix twice (cam_utils.py:66-67
+    and again :73-74), which undoes it and leaves vecT inconsistent with
+    the returned R — so its (K, R, vecT) triple does not recompose to P.
+    Here the fix is applied once and vecT is derived from the returned R,
+    making K @ [R | vecT] == P (up to scale) hold."""
     from scipy import linalg
 
     P = np.asarray(P, dtype=np.float64)
@@ -77,8 +83,6 @@ def decompose_perspective_camera(P):
     K = K @ signs
     oC = -np.linalg.inv(M) @ T
     vecT = (R @ -oC[:, np.newaxis]).T[0]
-    R = signs @ R
-    K = K @ signs
     return K, R, vecT, oC
 
 
