@@ -69,9 +69,14 @@ def _obs_residual_fn(cam_model, n_params):
     return fn
 
 
-def make_fns(p):
+def make_fns(p, jac_dtype=None):
     """Build jitted (residual_fn, jac_fn) over the observation table of a
-    BAParams instance."""
+    BAParams instance. jac_dtype: float32 (default) or float64 for the
+    Jacobian/normal-equation precision (see ops/jacobians.py)."""
+    import jax.numpy as _jnp
+
+    if jac_dtype is None:
+        jac_dtype = _jnp.float32
     n_params = p.n_params
     cam_model = p.cam_model
     cam_tail = jnp.asarray(p.cam_params[:, n_params:])
@@ -112,7 +117,8 @@ def make_fns(p):
         def jac_fn(cam_opt, pts3d):
             full_cam = jnp.concatenate([cam_opt, cam_tail], axis=1)
             return residuals_and_jacobians_rpc(
-                pts3d, rpcs_full, full_cam, pts_ind, cam_ind, pts2d, w, n_params, anchors
+                pts3d, rpcs_full, full_cam, pts_ind, cam_ind, pts2d, w, n_params,
+                anchors, jac_dtype=jac_dtype,
             )
 
     else:
@@ -169,9 +175,9 @@ class BASolver:
     per robust-loss configuration so repeated solves (warmup + timed runs,
     soft-L1 then L2 rounds on the same structure) reuse compilations."""
 
-    def __init__(self, p, schur_mode=None):
+    def __init__(self, p, schur_mode=None, jac_dtype=None):
         self.p = p
-        self.residual_fn, self.jac_fn = make_fns(p)
+        self.residual_fn, self.jac_fn = make_fns(p, jac_dtype=jac_dtype)
         self.prob, self.mode = build_problem(p, schur_mode)
         self._runs = {}
 
@@ -206,7 +212,8 @@ class BASolver:
         return (cam0, pts0), (cam, pts), err_init, err_ba, info
 
 
-def run_ba_optimization(p, ls_params=None, verbose=False, schur_mode=None, solver=None):
+def run_ba_optimization(p, ls_params=None, verbose=False, schur_mode=None, solver=None,
+                        jac_dtype=None):
     """Solve the BA problem of a BAParams instance.
 
     Returns (vars_init, vars_ba, err_init, err_ba, iterations) analogous to
@@ -214,7 +221,7 @@ def run_ba_optimization(p, ls_params=None, verbose=False, schur_mode=None, solve
     tuples instead of one flat vector. Pass a prebuilt BASolver via `solver`
     to reuse compiled programs across solves."""
     if solver is None:
-        solver = BASolver(p, schur_mode=schur_mode)
+        solver = BASolver(p, schur_mode=schur_mode, jac_dtype=jac_dtype)
     t0 = time.time()
     (cam0, pts0), (cam, pts), err_init, err_ba, info = solver.solve(ls_params, verbose)
     mode = solver.mode

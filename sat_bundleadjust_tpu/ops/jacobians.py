@@ -158,13 +158,22 @@ def residuals_rpc(pts3d, rpcs, cam_params, pts_ind, cam_ind, pts2d, weights,
 
 
 def residuals_and_jacobians_rpc(pts3d, rpcs, cam_params, pts_ind, cam_ind, pts2d,
-                                weights, n_params, anchors):
+                                weights, n_params, anchors, jac_dtype=jnp.float32):
     """Batched residuals + analytic Jacobian blocks for the rpc model.
 
     Returns (r (K, 2), J_cam (K, 2, n_params), J_pt (K, 2, 3)). The
     camera block is ordered [theta(3), T(3), C(3)][:n_params], matching
     ba/params.py's parameter layout. `anchors` is
-    fastgeo.anchors_from_rpcs(rpcs) (host-precomputed trig constants)."""
+    fastgeo.anchors_from_rpcs(rpcs) (host-precomputed trig constants).
+
+    Precision split: the residual r is evaluated in the input precision
+    (f64) — it suffers catastrophic cancellation (proj - obs). The Jacobian
+    is assembled in `jac_dtype` (default f32): all its factors are smooth
+    products/ratios of quantities that are either small (normalized
+    coordinates, rotation angles) or explicitly differenced in f64 first
+    (Xc), so f32 gives ~7 significant digits — far more than a descent
+    direction needs, at a fraction of the TPU f64-emulation cost. Pass
+    jac_dtype=jnp.float64 for a full-precision Jacobian."""
     X = pts3d[pts_ind]  # (K, 3)
     P = cam_params[cam_ind]  # (K, 9)
     rpc_k = jax.tree.map(lambda leaf: leaf[cam_ind], rpcs)
@@ -172,11 +181,26 @@ def residuals_and_jacobians_rpc(pts3d, rpcs, cam_params, pts_ind, cam_ind, pts2d
 
     theta, T, C = P[:, 0:3], P[:, 3:6], P[:, 6:9]
     R, dR = _rotation_and_derivs(theta)
-    Xc = X - T - C
+    Xc = X - T - C  # f64 difference (inputs are ~6.4e6 m)
     Y = sm.mv(R, Xc) + C
 
     nlat, nlon, nalt, sin_lat, cos_lat = normalized_geodetic(Y, rpc_k, anch_k)
-    proj, J_geo = _dproj_dgeo(rpc_k, nlat, nlon, nalt)  # (K,2), (K,2,3) wrt (lat,lon,alt) deg
+
+    # ---- residual: full precision forward evaluation
+    b64 = poly20_basis(nlat, nlon, nalt)
+    col = jnp.sum(b64 * rpc_k.samp_num, axis=-1) / jnp.sum(b64 * rpc_k.samp_den, axis=-1)
+    row = jnp.sum(b64 * rpc_k.line_num, axis=-1) / jnp.sum(b64 * rpc_k.line_den, axis=-1)
+    proj = jnp.stack(
+        [col * rpc_k.col_scale + rpc_k.col_offset, row * rpc_k.row_scale + rpc_k.row_offset],
+        axis=-1,
+    )
+    w2 = weights[:, None]
+    r = w2 * (proj - pts2d)
+
+    # ---- Jacobian: assembled in jac_dtype
+    f = lambda a: a.astype(jac_dtype)
+    rpc_j = jax.tree.map(f, rpc_k)
+    J_geo = _dproj_dgeo_jac(rpc_j, f(nlat), f(nlon), f(nalt))  # (K, 2, 3)
 
     # d(geodetic)/dY = J_f^{-1} (inverse function theorem); closed-form 3x3
     # inverse — TPU XLA implements LuDecomposition only for f32. sin/cos of
@@ -184,30 +208,61 @@ def residuals_and_jacobians_rpc(pts3d, rpcs, cam_params, pts_ind, cam_ind, pts2d
     from sat_bundleadjust_tpu.ops.lm import _inv3x3
 
     p_xy = jnp.sqrt(Y[:, 0] ** 2 + Y[:, 1] ** 2)
-    sin_lon = Y[:, 1] / p_xy
-    cos_lon = Y[:, 0] / p_xy
-    alt = nalt * rpc_k.alt_scale + rpc_k.alt_offset
-    J_f = _decef_dgeodetic(sin_lat, cos_lat, sin_lon, cos_lon, alt)
+    sin_lon = f(Y[:, 1] / p_xy)
+    cos_lon = f(Y[:, 0] / p_xy)
+    alt = f(nalt * rpc_k.alt_scale + rpc_k.alt_offset)
+    J_f = _decef_dgeodetic(f(sin_lat), f(cos_lat), sin_lon, cos_lon, alt)
     J_inv = _inv3x3(J_f)  # (K, 3, 3): d(lat,lon,alt)/decef
     J_proj_Y = sm.mm(J_geo, J_inv)  # (K, 2, 3)
 
-    w2 = weights[:, None]
-    r = w2 * (proj - pts2d)
+    Rj = f(R)
+    wj = f(w2)[..., None]
 
     # point block: dY/dX = R
-    J_pt = sm.mm(J_proj_Y, R) * w2[..., None]
+    J_pt = sm.mm(J_proj_Y, Rj) * wj
 
     blocks = []
     if n_params > 0:  # theta
         # dY/dtheta_t = dR[t] @ Xc -> (K, 3 [i], 3 [t])
-        dY_dtheta = jnp.stack([sm.mv(dR[:, t], Xc) for t in range(3)], axis=-1)
+        dY_dtheta = jnp.stack([f(sm.mv(dR[:, t], Xc)) for t in range(3)], axis=-1)
         blocks.append(sm.mm(J_proj_Y, dY_dtheta))
     if n_params > 3:  # T: dY/dT = -R
-        blocks.append(sm.mm(J_proj_Y, -R))
+        blocks.append(sm.mm(J_proj_Y, -Rj))
     if n_params > 6:  # C: dY/dC = I - R
-        blocks.append(sm.mm(J_proj_Y, jnp.eye(3, dtype=R.dtype) - R))
+        blocks.append(sm.mm(J_proj_Y, jnp.eye(3, dtype=jac_dtype) - Rj))
     if blocks:
-        J_cam = jnp.concatenate(blocks, axis=-1)[:, :, :n_params] * w2[..., None]
+        J_cam = jnp.concatenate(blocks, axis=-1)[:, :, :n_params] * wj
     else:
-        J_cam = jnp.zeros(r.shape + (0,))
+        J_cam = jnp.zeros(r.shape + (0,), dtype=jac_dtype)
     return r, J_cam, J_pt
+
+
+def _dproj_dgeo_jac(rpc_k, nlat, nlon, nalt):
+    """d(col, row)/d(lat, lon, alt) only (no forward value), in the dtype of
+    its inputs — the Jacobian-assembly half of _dproj_dgeo."""
+    b = poly20_basis(nlat, nlon, nalt)
+    b_dlat = poly20_basis_dx(nlat, nlon, nalt)
+    b_dlon = poly20_basis_dy(nlat, nlon, nalt)
+    b_dalt = poly20_basis_dz(nlat, nlon, nalt)
+
+    def rational_derivs(num, den, scale):
+        p = jnp.sum(b * num, axis=-1)
+        q = jnp.sum(b * den, axis=-1)
+        v = p / q
+
+        def deriv(basis_d):
+            pd = jnp.sum(basis_d * num, axis=-1)
+            qd = jnp.sum(basis_d * den, axis=-1)
+            return (pd - v * qd) / q * scale
+
+        return deriv(b_dlat), deriv(b_dlon), deriv(b_dalt)
+
+    c_dlat, c_dlon, c_dalt = rational_derivs(rpc_k.samp_num, rpc_k.samp_den, rpc_k.col_scale)
+    r_dlat, r_dlon, r_dalt = rational_derivs(rpc_k.line_num, rpc_k.line_den, rpc_k.row_scale)
+    return jnp.stack(
+        [
+            jnp.stack([c_dlat / rpc_k.lat_scale, c_dlon / rpc_k.lon_scale, c_dalt / rpc_k.alt_scale], axis=-1),
+            jnp.stack([r_dlat / rpc_k.lat_scale, r_dlon / rpc_k.lon_scale, r_dalt / rpc_k.alt_scale], axis=-1),
+        ],
+        axis=-2,
+    )

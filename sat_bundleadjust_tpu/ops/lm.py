@@ -116,16 +116,20 @@ def _inv3x3(V):
 def _normal_blocks(r, J_cam, J_pt, prob: LMProblem, n_cam, n_pts, cfg: LMConfig):
     """Build gradient and normal-equation blocks from per-obs residuals.
 
-    r: (K, 2); J_cam: (K, 2, P); J_pt: (K, 2, 3)."""
-    # robust IRLS scaling
-    s = loss_scale(cfg.loss, r, cfg.f_scale)  # (K, 2)
-    r = r * s
+    r: (K, 2); J_cam: (K, 2, P); J_pt: (K, 2, 3). The normal equations are
+    built in the Jacobian's dtype (f32 by default — see ops/jacobians.py);
+    the residual is cast down here, which only loses digits the normal
+    equations cannot represent anyway."""
+    dt = J_cam.dtype
+    # robust IRLS scaling (computed on the full-precision residual)
+    s = loss_scale(cfg.loss, r, cfg.f_scale).astype(dt)  # (K, 2)
+    r = r.astype(dt) * s
     J_cam = J_cam * s[..., None]
     J_pt = J_pt * s[..., None]
 
     # mask frozen cameras / points (their Jacobian blocks vanish)
-    J_cam = J_cam * prob.cam_opt_mask[prob.cam_ind][:, None, None]
-    J_pt = J_pt * prob.pts_opt_mask[prob.pts_ind][:, None, None]
+    J_cam = J_cam * prob.cam_opt_mask.astype(dt)[prob.cam_ind][:, None, None]
+    J_pt = J_pt * prob.pts_opt_mask.astype(dt)[prob.pts_ind][:, None, None]
 
     g_cam = jax.ops.segment_sum(sm.mtv(J_cam, r), prob.cam_ind, num_segments=n_cam)
     g_pt = jax.ops.segment_sum(sm.mtv(J_pt, r), prob.pts_ind, num_segments=n_pts)
@@ -137,9 +141,10 @@ def _normal_blocks(r, J_cam, J_pt, prob: LMProblem, n_cam, n_pts, cfg: LMConfig)
 
 def _damp(M_blocks, lam, floor=1e-12):
     """Marquardt multiplicative damping of block diagonals."""
+    dt = M_blocks.dtype
     diag = jnp.diagonal(M_blocks, axis1=-2, axis2=-1)
-    add = lam * jnp.maximum(diag, floor) + floor
-    return M_blocks + jnp.eye(M_blocks.shape[-1]) * add[..., None, :]
+    add = jnp.asarray(lam, dt) * jnp.maximum(diag, jnp.asarray(floor, dt)) + jnp.asarray(floor, dt)
+    return M_blocks + jnp.eye(M_blocks.shape[-1], dtype=dt) * add[..., None, :]
 
 
 def _schur_rhs(g_cam, g_pt, W, Vinv, prob, n_cam):
@@ -257,11 +262,13 @@ def lm_step(r, J_cam, J_pt, lam, prob: LMProblem, n_cam, n_pts, cfg: LMConfig,
         # U is also psum'd inside the CG matvec path via U_for_prec; for the
         # matvec itself each shard applies its partial U then psums the result,
         # so keep the local U here.
+    dt = U.dtype
     U_d = _damp(U, lam)
     V_d = _damp(V, lam)
     # frozen points: make V identity so dp = -Vinv g_pt = 0 (g_pt masked to 0)
-    eye = jnp.eye(3)
-    V_d = V_d * prob.pts_opt_mask[:, None, None] + eye * (1.0 - prob.pts_opt_mask)[:, None, None]
+    eye = jnp.eye(3, dtype=dt)
+    pmask = prob.pts_opt_mask.astype(dt)
+    V_d = V_d * pmask[:, None, None] + eye * (1.0 - pmask)[:, None, None]
     Vinv = _inv3x3(V_d)
 
     b = _schur_rhs(g_cam, g_pt, W, Vinv, prob, n_cam)
@@ -270,11 +277,12 @@ def lm_step(r, J_cam, J_pt, lam, prob: LMProblem, n_cam, n_pts, cfg: LMConfig,
         # already psum'd, so correct the double count
         b = jax.lax.psum(b + g_cam, psum_axis) - g_cam
 
+    cmask = prob.cam_opt_mask.astype(dt)
     if cfg.schur_mode == "dense" and psum_axis is None:
-        dcam = _dense_schur_solve(U_d, W, Vinv, b, prob, n_cam, prob.cam_opt_mask)
+        dcam = _dense_schur_solve(U_d, W, Vinv, b, prob, n_cam, cmask)
     else:
         dcam = _cg_schur_solve(
-            U_d, W, Vinv, b, prob, n_cam, prob.cam_opt_mask, cfg.cg_iters, psum_axis
+            U_d, W, Vinv, b, prob, n_cam, cmask, cfg.cg_iters, psum_axis
         )
 
     # back-substitute tie points: dp = -V^-1 (g_pt + W^T dcam)
@@ -282,8 +290,8 @@ def lm_step(r, J_cam, J_pt, lam, prob: LMProblem, n_cam, n_pts, cfg: LMConfig,
         sm.mtv(W, dcam[prob.cam_ind]), prob.pts_ind, num_segments=n_pts
     )
     dpt = -sm.mv(Vinv, g_pt + wtdc)
-    dpt = dpt * prob.pts_opt_mask[:, None]
-    dcam = dcam * prob.cam_opt_mask[:, None]
+    dpt = dpt * pmask[:, None]
+    dcam = dcam * cmask[:, None]
     return dcam, dpt
 
 
