@@ -292,6 +292,13 @@ def lm_step(r, J_cam, J_pt, lam, prob: LMProblem, n_cam, n_pts, cfg: LMConfig,
     dpt = -sm.mv(Vinv, g_pt + wtdc)
     dpt = dpt * pmask[:, None]
     dcam = dcam * cmask[:, None]
+    # at very small damping the f32 factorization/CG can go indefinite and
+    # emit non-finite steps; sanitize to a zero step so the LM driver treats
+    # it as a plain rejected iteration (raises lam) instead of evaluating
+    # the residual at NaN parameters
+    finite = jnp.isfinite(jnp.sum(dcam)) & jnp.isfinite(jnp.sum(dpt))
+    dcam = jnp.where(finite, dcam, jnp.zeros_like(dcam))
+    dpt = jnp.where(finite, dpt, jnp.zeros_like(dpt))
     return dcam, dpt
 
 
@@ -327,6 +334,14 @@ def build_solve(residual_fn, jac_fn, n_cam, n_pts, prob: LMProblem, cfg: LMConfi
             new_cost = cost_of(residual_fn(cam_new, pts_new))
             improved = new_cost < cost
             rel_drop = (cost - new_cost) / jnp.maximum(cost, 1e-30)
+            # xtol: scipy-TRF-style step-size criterion (the reference runs
+            # least_squares(method="trf", xtol=1e-10), ba_core.py:284-297).
+            # Catches the f32-Jacobian tail on noise-free problems, where
+            # cost keeps shrinking geometrically (rel_drop stays > ftol)
+            # while the iterates have long stopped moving meaningfully.
+            step_norm = jnp.sqrt(jnp.sum(dcam * dcam) + jnp.sum(dpt * dpt))
+            x_norm = jnp.sqrt(jnp.sum(cam * cam) + jnp.sum(pts * pts))
+            small_step = step_norm < cfg.xtol * (x_norm + cfg.xtol)
             cam = jnp.where(improved, cam_new, cam)
             pts = jnp.where(improved, pts_new, pts)
             lam = jnp.where(improved, lam / cfg.lambda_down, lam * cfg.lambda_up)
@@ -334,6 +349,7 @@ def build_solve(residual_fn, jac_fn, n_cam, n_pts, prob: LMProblem, cfg: LMConfi
             done = (
                 done
                 | (improved & (rel_drop < cfg.ftol))
+                | (improved & small_step)
                 | (lam > 1e12)
                 | (cost <= cost_floor)
             )
