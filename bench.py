@@ -133,7 +133,11 @@ def main():
     from sat_bundleadjust_tpu.utils.demo import make_scene_arrays, scene_to_baparams
 
     platform = jax.default_backend()
-    n_cam, n_pts, obs_per_pt = 50, 20000, 4
+    # problem scale is env-configurable to cover the BASELINE.json configs
+    # (#4: 100+-view robust BA, #5: 1000+-view); defaults = standard problem
+    n_cam = int(os.environ.get("SATBA_BENCH_CAMS", 50))
+    n_pts = int(os.environ.get("SATBA_BENCH_PTS", 20000))
+    obs_per_pt = int(os.environ.get("SATBA_BENCH_OBS", 4))
 
     scene = make_scene_arrays(n_cam=n_cam, n_pts=n_pts, obs_per_pt=obs_per_pt,
                               rot_scale=2e-5, noise_px=0.1, seed=0)

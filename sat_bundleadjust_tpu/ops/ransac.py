@@ -54,7 +54,11 @@ def _eight_point(pts1, pts2):
     A = jnp.stack(
         [x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, ones], axis=-1
     )  # (..., S, 9)
-    _, _, vh = jnp.linalg.svd(A, full_matrices=True)
+    # economy SVD gives the same (9, 9) Vh whenever S > 9; full_matrices is
+    # only needed for the minimal S=8 case (null vector = 9th row of full
+    # Vh). With full_matrices=True a large-S refit would materialize an
+    # S x S U block (48k inliers -> ~9 GB).
+    _, _, vh = jnp.linalg.svd(A, full_matrices=A.shape[-2] <= A.shape[-1])
     f = vh[..., -1, :]
     F = f.reshape(f.shape[:-1] + (3, 3))
     # enforce rank 2
@@ -81,22 +85,38 @@ def _sym_epipolar_err(F, pts1, pts2):
     return jnp.maximum(d1, d2)
 
 
+# hypotheses scored per tile: bounds the transient error matrix at
+# HYP_TILE x N floats regardless of n_hypotheses (512 x 60k matches would
+# otherwise materialize ~125 MB per intermediate)
+HYP_TILE = 64
+
+
 @partial(jax.jit, static_argnames=("n_hypotheses",))
 def _ransac_core(pts1, pts2, valid, thr, seed, n_hypotheses=N_HYPOTHESES):
     n = pts1.shape[0]
     key = jax.random.PRNGKey(seed)
-    # sample indices only among valid matches: draw from the valid set via
-    # categorical sampling over the validity mask
-    logits = jnp.where(valid, 0.0, -1e30)
-    samples = jax.random.categorical(
-        key, logits[None, :], shape=(n_hypotheses, MIN_SAMPLES)
-    )  # (H, 8)
+    # sample indices only among valid matches by inverting the validity CDF
+    # (categorical sampling would materialize (H, 8, N) gumbel noise — GBs
+    # at 60k matches; searchsorted over the (N,) cumsum is exact and tiny)
+    cdf = jnp.cumsum(valid.astype(jnp.float32))
+    u = jax.random.uniform(key, (n_hypotheses, MIN_SAMPLES)) * cdf[-1]
+    samples = jnp.searchsorted(cdf, u, side="right")  # (H, 8)
     F = _eight_point(pts1[samples], pts2[samples])  # (H, 3, 3)
-    errs = _sym_epipolar_err(F, pts1, pts2)  # (H, N)
-    inl = (errs < thr ** 2) & valid[None, :]
-    counts = jnp.sum(inl, axis=-1)
+    tile = min(HYP_TILE, n_hypotheses)
+    pad = (-n_hypotheses) % tile
+    F_tiles = jnp.concatenate([F, jnp.zeros((pad, 3, 3), F.dtype)]).reshape(
+        -1, tile, 3, 3
+    )
+
+    def count_tile(F_t):
+        errs = _sym_epipolar_err(F_t, pts1, pts2)  # (tile, N)
+        return jnp.sum((errs < thr ** 2) & valid[None, :], axis=-1)
+
+    counts = jax.lax.map(count_tile, F_tiles).reshape(-1)[:n_hypotheses]
     best = jnp.argmax(counts)
-    return F[best], inl[best], counts[best]
+    errs_best = _sym_epipolar_err(F[best], pts1, pts2)
+    inl_best = (errs_best < thr ** 2) & valid
+    return F[best], inl_best, counts[best]
 
 
 def _np_eight_point(pts1, pts2):
@@ -122,7 +142,9 @@ def _np_eight_point(pts1, pts2):
     A = np.stack(
         [x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, np.ones_like(x1)], axis=-1
     )
-    _, _, vh = np.linalg.svd(A)
+    # economy SVD unless the null vector needs the full Vh (S <= 9); see
+    # the jax twin above for the S x S memory blowup otherwise
+    _, _, vh = np.linalg.svd(A, full_matrices=A.shape[-2] <= A.shape[-1])
     F = vh[..., -1, :].reshape(A.shape[:-2] + (3, 3))
     u, s, vt = np.linalg.svd(F)
     s[..., 2] = 0.0
@@ -151,13 +173,16 @@ def _ransac_numpy(pts1, pts2, valid, thr, seed, n_hypotheses, refit):
         return None, None
     samples = idx_pool[rng.randint(0, len(idx_pool), size=(n_hypotheses, MIN_SAMPLES))]
     F = _np_eight_point(pts1[samples].astype(np.float32), pts2[samples].astype(np.float32))
-    errs = _np_sym_err(F, pts1, pts2)
-    inl = (errs < thr ** 2) & valid[None, :]
-    counts = inl.sum(axis=-1)
+    # score in hypothesis tiles to bound the (H, N) transient (see HYP_TILE)
+    counts = np.empty(n_hypotheses, dtype=np.int64)
+    for s in range(0, n_hypotheses, HYP_TILE):
+        errs = _np_sym_err(F[s : s + HYP_TILE], pts1, pts2)
+        counts[s : s + HYP_TILE] = ((errs < thr ** 2) & valid[None, :]).sum(axis=-1)
     best = int(np.argmax(counts))
     if counts[best] < MIN_SAMPLES:
         return None, None
-    F_best, inliers = F[best], inl[best]
+    F_best = F[best]
+    inliers = (_np_sym_err(F_best, pts1, pts2) < thr ** 2) & valid
     if refit:
         F_best = _np_eight_point(pts1[inliers].astype(np.float32), pts2[inliers].astype(np.float32))
         errs = _np_sym_err(F_best, pts1, pts2)
