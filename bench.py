@@ -125,12 +125,88 @@ def numpy_reference_solver(scene, max_nfev=20):
     return elapsed, res.nfev, float(np.mean(err))
 
 
+def _numpy_2nn_match(d1, d2):
+    """Reference-equivalent brute-force 2-NN matcher (opencv BFMatcher
+    algorithm, ft_opencv.py:200-208) in numpy, for the tracks baseline."""
+    n1 = (d1 ** 2).sum(1)[:, None]
+    n2 = (d2 ** 2).sum(1)[None, :]
+    dist = n1 + n2 - 2.0 * (d1 @ d2.T)
+    part = np.partition(dist, 1, axis=1)[:, :2]
+    return part
+
+
+def bench_tracks():
+    """Feature-tracking throughput: SIFT detection + pairwise matching +
+    track building on rendered multi-view imagery. value = tracks/second
+    (post-compile); vs_baseline vs the reference-equivalent matcher (same
+    detector, numpy brute-force 2-NN matching — conservative: the
+    reference's opencv SIFT detection is not faster than ours here)."""
+    import jax
+
+    from sat_bundleadjust_tpu.ops.match import match_pair
+    from sat_bundleadjust_tpu.ops.sift import detect_sift
+    from sat_bundleadjust_tpu.tracks.build import feature_tracks_from_pairwise_matches
+    from sat_bundleadjust_tpu.utils.demo import render_synthetic_images
+
+    platform = jax.default_backend()
+    n_im = int(os.environ.get("SATBA_BENCH_IMAGES", 6))
+    h = int(os.environ.get("SATBA_BENCH_H", 300))
+    w = int(os.environ.get("SATBA_BENCH_W", 400))
+    max_kp = int(os.environ.get("SATBA_BENCH_KP", 3000))
+    images, _ = render_synthetic_images(n_cam=n_im, h=h, w=w, seed=0)
+    pairs = [(i, j) for i in range(n_im) for j in range(i + 1, n_im)]
+
+    # warm the per-shape compilations (detection octaves + matcher)
+    f0 = np.asarray(detect_sift(images[0], max_kp=max_kp))
+    match_pair(f0, f0)
+
+    t0 = time.time()
+    feats = [np.asarray(detect_sift(im, max_kp=max_kp)) for im in images]
+    det_time = time.time() - t0
+    pm = []
+    for (i, j) in pairs:
+        m, _, _ = match_pair(feats[i], feats[j])
+        if m is not None and len(m):
+            pm.append(np.hstack([
+                m, np.full((len(m), 1), i, np.int64), np.full((len(m), 1), j, np.int64)
+            ]))
+    pm = np.concatenate(pm)
+    C, _ = feature_tracks_from_pairwise_matches(feats, pm, pairs)
+    elapsed = time.time() - t0
+    n_tracks = C.shape[1]
+
+    # baseline: same detection time + numpy brute-force 2-NN on one pair,
+    # scaled to all pairs (the reference matches in FT_n_proc host procs)
+    t0 = time.time()
+    _numpy_2nn_match(feats[0][:, 4:].astype(np.float64), feats[1][:, 4:].astype(np.float64))
+    base_match = (time.time() - t0) * len(pairs)
+    vs_baseline = (det_time + base_match) / elapsed
+
+    print(
+        "tracks: {} images {}x{}, {} kp/im cap -> {} tracks in {:.2f}s "
+        "({:.2f}s detection); numpy-2NN baseline {:.2f}s matching".format(
+            n_im, h, w, max_kp, n_tracks, elapsed, det_time, base_match
+        ),
+        file=sys.stderr,
+    )
+    return {
+        "metric": "feature_tracks_per_second",
+        "value": round(n_tracks / elapsed, 3),
+        "unit": "tracks/s ({} images {}x{}, {} platform)".format(n_im, h, w, platform),
+        "vs_baseline": round(vs_baseline, 2),
+    }
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
     from sat_bundleadjust_tpu.ba.solver import BASolver, run_ba_optimization
     from sat_bundleadjust_tpu.utils.demo import make_scene_arrays, scene_to_baparams
+
+    if os.environ.get("SATBA_BENCH_MODE", "ba") == "tracks":
+        print(json.dumps(bench_tracks()))
+        return
 
     platform = jax.default_backend()
     # problem scale is env-configurable to cover the BASELINE.json configs

@@ -338,8 +338,13 @@ def _process_octave(current, sig_inc, thresh_dog, n_scales, max_kp_per_octave):
 
     kp = _extrema_and_refine(dog, thresh_dog, max_kp_per_octave)
 
-    gx = 0.5 * (jnp.roll(ss, -1, axis=2) - jnp.roll(ss, 1, axis=2))
-    gy = 0.5 * (jnp.roll(ss, -1, axis=1) - jnp.roll(ss, 1, axis=1))
+    # edge-clamped central differences: roll would wrap, so descriptor
+    # patches near the image border would sample gradients from the
+    # opposite edge (at the border this degrades to a one-sided half
+    # gradient, the standard choice)
+    ssp = jnp.pad(ss, ((0, 0), (1, 1), (1, 1)), mode="edge")
+    gx = 0.5 * (ssp[:, 1:-1, 2:] - ssp[:, 1:-1, :-2])
+    gy = 0.5 * (ssp[:, 2:, 1:-1] - ssp[:, :-2, 1:-1])
 
     sigma_oct = SIGMA_MIN / DELTA_MIN * 2 ** (kp["s"] / n_scales)
     level = jnp.clip(jnp.round(kp["s"]).astype(jnp.int32), 0, n_scales + 2)

@@ -136,3 +136,44 @@ def scene_to_baparams(scene, noise_pts=1.0, verbose=False):
         C, pts0, scene["rpc_list"], "rpc", pairs,
         [c for c in scene["camera_centers"]], {"verbose": verbose},
     )
+
+
+def render_synthetic_images(n_cam=4, h=300, w=400, seed=0, alt=50.0,
+                            lon0=-72.71, lat0=11.02, span=0.035):
+    """Render n_cam views of a shared smooth ground texture through
+    synthetic RPC cameras (pixel value = texture at the localized ground
+    position). Exercises the real detection -> matching -> tracks stage on
+    imagery with true cross-view correspondence; used by bench.py's
+    tracks mode and demos.
+
+    Returns (images [n_cam arrays (h, w) float32 in [0, 1]], rpcs)."""
+    from scipy.ndimage import gaussian_filter
+
+    rng = np.random.RandomState(seed)
+    n = 1024
+    tex = np.zeros((n, n))
+    for o in range(4):
+        tex += gaussian_filter(rng.randn(n, n), sigma=2.0 ** (o + 1)) * 2.0 ** o
+    tex = (tex - tex.min()) / (tex.max() - tex.min())
+
+    images, rpcs = [], []
+    cols, rows = np.meshgrid(np.arange(w, dtype=np.float64), np.arange(h, dtype=np.float64))
+    alts = np.full(cols.size, alt)
+    for i in range(n_cam):
+        rpc = make_synthetic_rpc(
+            lon0=lon0, lat0=lat0,
+            view_dx=250.0 * np.cos(2 * np.pi * i / n_cam),
+            view_dy=250.0 * np.sin(2 * np.pi * i / n_cam),
+            img_halfsize=(w / 2.0, h / 2.0),
+        )
+        lons, lats = rpc.localization(cols.ravel(), rows.ravel(), alts)
+        u = np.clip((np.asarray(lons) - (lon0 - span)) / (2 * span) * (n - 1), 0, n - 1.001)
+        v = np.clip((np.asarray(lats) - (lat0 - span)) / (2 * span) * (n - 1), 0, n - 1.001)
+        u0 = np.floor(u).astype(int)
+        v0 = np.floor(v).astype(int)
+        fu, fv = u - u0, v - v0
+        vals = ((1 - fv) * ((1 - fu) * tex[v0, u0] + fu * tex[v0, u0 + 1])
+                + fv * ((1 - fu) * tex[v0 + 1, u0] + fu * tex[v0 + 1, u0 + 1]))
+        images.append(vals.reshape(h, w).astype(np.float32))
+        rpcs.append(rpc)
+    return images, rpcs
