@@ -416,32 +416,37 @@ def detect_sift(image, thresh_dog=0.0133, n_octaves=8, n_scales=3, max_kp=None,
             jnp.float32(thresh_dog), n_scales, slots,
         )
 
-        abs_sigma = delta / DELTA_MIN * SIGMA_MIN * (2.0 ** (np.asarray(kp["s"]) / n_scales))
+        # keep everything on device: forcing a host transfer here would
+        # synchronize after every octave (each sync is a full round trip on
+        # tunneled devices); with async dispatch all octave programs enqueue
+        # back-to-back and one device_get at the end drains the results
+        abs_sigma = delta / DELTA_MIN * SIGMA_MIN * (2.0 ** (kp["s"] / n_scales))
         results.append(
             {
-                "col": np.asarray(kp["x"]) * delta,
-                "row": np.asarray(kp["y"]) * delta,
+                "col": kp["x"] * delta,
+                "row": kp["y"] * delta,
                 "scale": abs_sigma,
-                "theta": np.asarray(thetas),
-                "desc": np.asarray(descs),
-                "valid": np.asarray(kp["valid"]),
+                "theta": thetas,
+                "desc": descs,
+                "valid": kp["valid"],
             }
         )
         # secondary-orientation keypoints (same location/scale, second
         # histogram peak >= 0.8 max — IPOL emits these as extra keypoints)
         results.append(
             {
-                "col": np.asarray(kp["x"]) * delta,
-                "row": np.asarray(kp["y"]) * delta,
+                "col": kp["x"] * delta,
+                "row": kp["y"] * delta,
                 "scale": abs_sigma,
-                "theta": np.asarray(thetas2),
-                "desc": np.asarray(descs2),
-                "valid": np.asarray(valid2),
+                "theta": thetas2,
+                "desc": descs2,
+                "valid": valid2,
             }
         )
         delta *= 2.0
 
-    # assemble
+    # assemble (single host synchronization for the whole image)
+    results = jax.device_get(results)
     rows = []
     for r in results:
         v = r["valid"]
