@@ -163,6 +163,9 @@ def build_problem(p, schur_mode=None):
         pts_opt_mask=jnp.asarray(p.pts_opt_mask),
         pair_k1=jnp.asarray(pair_k1),
         pair_k2=jnp.asarray(pair_k2),
+        # scatter-free segment sums (gather + dense reduce; see ops/lm.py)
+        pt_gather=jnp.asarray(lm_ops.build_gather_segments(p.pts_ind, p.n_pts)),
+        cam_gather=jnp.asarray(lm_ops.build_gather_segments(p.cam_ind, p.n_cam)),
     )
     return prob, schur_mode
 

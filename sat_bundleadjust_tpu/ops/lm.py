@@ -47,6 +47,14 @@ class LMProblem(NamedTuple):
     pts_opt_mask: jnp.ndarray  # (N,) 1.0 where point is optimized
     pair_k1: jnp.ndarray  # (Q,) obs-pair lists for dense Schur assembly
     pair_k2: jnp.ndarray  # (Q,)
+    # optional scatter-free segment-sum tables (build_gather_segments):
+    # padded (segment, slot) -> obs index, sentinel K for empty slots.
+    # TPU lowers scatter-adds (segment_sum) to serialized updates; a padded
+    # gather + dense reduce runs at memory bandwidth instead. None -> fall
+    # back to jax.ops.segment_sum (e.g. inside shard_map where the index
+    # arrays are traced values).
+    pt_gather: jnp.ndarray = None  # (N, Tp) int32 or None
+    cam_gather: jnp.ndarray = None  # (M, Tc) int32 or None
 
 
 class LMConfig(NamedTuple):
@@ -60,6 +68,10 @@ class LMConfig(NamedTuple):
     lambda_down: float = 3.0
     schur_mode: str = "dense"  # "dense" | "cg"
     cg_iters: int = 60
+    # inexact-Newton forcing: CG stops at ||r|| <= cg_rtol * ||b|| (LM
+    # damping absorbs the step error; tightening this 100x was measured to
+    # cost ~3x wall-clock for no iteration-count benefit)
+    cg_rtol: float = 1e-2
 
 
 def build_intra_track_pairs(pts_ind, n_pts):
@@ -84,6 +96,38 @@ def build_intra_track_pairs(pts_ind, n_pts):
     if not k1:
         return np.zeros(0, np.int32), np.zeros(0, np.int32)
     return np.concatenate(k1).astype(np.int32), np.concatenate(k2).astype(np.int32)
+
+
+def build_gather_segments(ind, n_segments):
+    """Host-side (n_segments, T) padded index table turning segment_sum
+    into gather + dense reduce; T = max segment size, pad value = len(ind)
+    (a sentinel row of zeros is appended to the operand at use time)."""
+    ind = np.asarray(ind)
+    K = len(ind)
+    counts = np.bincount(ind, minlength=n_segments)
+    T = max(int(counts.max()) if K else 1, 1)
+    order = np.argsort(ind, kind="stable")
+    starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    table = np.full((n_segments, T), K, dtype=np.int32)
+    col = np.arange(K) - starts[ind[order]]
+    table[ind[order], col] = order
+    return table
+
+
+def _seg_sum(x, ind, n_segments, table):
+    """segment_sum(x, ind) via the padded gather table when available."""
+    if table is None:
+        return jax.ops.segment_sum(x, ind, num_segments=n_segments)
+    pad = jnp.zeros((1,) + x.shape[1:], x.dtype)
+    return jnp.concatenate([x, pad], axis=0)[table].sum(axis=1)
+
+
+def _seg_sum_pt(x, prob: LMProblem, n_pts):
+    return _seg_sum(x, prob.pts_ind, n_pts, prob.pt_gather)
+
+
+def _seg_sum_cam(x, prob: LMProblem, n_cam):
+    return _seg_sum(x, prob.cam_ind, n_cam, prob.cam_gather)
 
 
 def _inv3x3(V):
@@ -131,10 +175,10 @@ def _normal_blocks(r, J_cam, J_pt, prob: LMProblem, n_cam, n_pts, cfg: LMConfig)
     J_cam = J_cam * prob.cam_opt_mask.astype(dt)[prob.cam_ind][:, None, None]
     J_pt = J_pt * prob.pts_opt_mask.astype(dt)[prob.pts_ind][:, None, None]
 
-    g_cam = jax.ops.segment_sum(sm.mtv(J_cam, r), prob.cam_ind, num_segments=n_cam)
-    g_pt = jax.ops.segment_sum(sm.mtv(J_pt, r), prob.pts_ind, num_segments=n_pts)
-    U = jax.ops.segment_sum(sm.mtm(J_cam, J_cam), prob.cam_ind, num_segments=n_cam)
-    V = jax.ops.segment_sum(sm.mtm(J_pt, J_pt), prob.pts_ind, num_segments=n_pts)
+    g_cam = _seg_sum_cam(sm.mtv(J_cam, r), prob, n_cam)
+    g_pt = _seg_sum_pt(sm.mtv(J_pt, r), prob, n_pts)
+    U = _seg_sum_cam(sm.mtm(J_cam, J_cam), prob, n_cam)
+    V = _seg_sum_pt(sm.mtm(J_pt, J_pt), prob, n_pts)
     W = sm.mtm(J_cam, J_pt)  # (K, P, 3)
     return r, g_cam, g_pt, U, V, W
 
@@ -150,7 +194,7 @@ def _damp(M_blocks, lam, floor=1e-12):
 def _schur_rhs(g_cam, g_pt, W, Vinv, prob, n_cam):
     """b = -g_cam + W V^-1 g_pt (reduced right-hand side)."""
     Yg = sm.mv(W, sm.mv(Vinv, g_pt)[prob.pts_ind])
-    return -g_cam + jax.ops.segment_sum(Yg, prob.cam_ind, num_segments=n_cam)
+    return -g_cam + _seg_sum_cam(Yg, prob, n_cam)
 
 
 def _dense_schur_solve(U_d, W, Vinv, b, prob: LMProblem, n_cam, cam_opt_mask):
@@ -175,7 +219,7 @@ def _dense_schur_solve(U_d, W, Vinv, b, prob: LMProblem, n_cam, cam_opt_mask):
 
 
 def _cg_schur_solve(U_d, W, Vinv, b, prob: LMProblem, n_cam, cam_opt_mask, cg_iters,
-                    psum_axis=None):
+                    psum_axis=None, cg_rtol=1e-2):
     """Matrix-free CG on the Schur complement, in float32.
 
     matvec(x) = U x - W V^-1 W^T x via gathers + segment sums. When
@@ -199,13 +243,9 @@ def _cg_schur_solve(U_d, W, Vinv, b, prob: LMProblem, n_cam, cam_opt_mask, cg_it
 
     def matvec(x):  # x: (M, P)
         ux = sm.mv(U_d, x)
-        wtx = jax.ops.segment_sum(
-            sm.mtv(W, x[prob.cam_ind]), prob.pts_ind, num_segments=n_pts
-        )
+        wtx = _seg_sum_pt(sm.mtv(W, x[prob.cam_ind]), prob, n_pts)
         z = sm.mv(Vinv, wtx)
-        wz = jax.ops.segment_sum(
-            sm.mv(W, z[prob.pts_ind]), prob.cam_ind, num_segments=n_cam
-        )
+        wz = _seg_sum_cam(sm.mv(W, z[prob.pts_ind]), prob, n_cam)
         out = ux - wz
         if psum_axis is not None:
             out = jax.lax.psum(out, psum_axis)
@@ -234,7 +274,7 @@ def _cg_schur_solve(U_d, W, Vinv, b, prob: LMProblem, n_cam, cam_opt_mask, cg_it
 
     def cond(state):
         _, r_c, _, _, it = state
-        return (jnp.sum(r_c * r_c) > 1e-12 * rr0) & (it < cg_iters)
+        return (jnp.sum(r_c * r_c) > (cg_rtol * cg_rtol) * rr0) & (it < cg_iters)
 
     def body(state):
         x, r, p, rz, it = state
@@ -282,13 +322,12 @@ def lm_step(r, J_cam, J_pt, lam, prob: LMProblem, n_cam, n_pts, cfg: LMConfig,
         dcam = _dense_schur_solve(U_d, W, Vinv, b, prob, n_cam, cmask)
     else:
         dcam = _cg_schur_solve(
-            U_d, W, Vinv, b, prob, n_cam, cmask, cfg.cg_iters, psum_axis
+            U_d, W, Vinv, b, prob, n_cam, cmask, cfg.cg_iters, psum_axis,
+            cg_rtol=cfg.cg_rtol,
         )
 
     # back-substitute tie points: dp = -V^-1 (g_pt + W^T dcam)
-    wtdc = jax.ops.segment_sum(
-        sm.mtv(W, dcam[prob.cam_ind]), prob.pts_ind, num_segments=n_pts
-    )
+    wtdc = _seg_sum_pt(sm.mtv(W, dcam[prob.cam_ind]), prob, n_pts)
     dpt = -sm.mv(Vinv, g_pt + wtdc)
     dpt = dpt * pmask[:, None]
     dcam = dcam * cmask[:, None]
