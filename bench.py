@@ -21,9 +21,11 @@ import time
 import numpy as np
 
 # persistent compilation cache: remote TPU compiles take minutes per
-# program; cache them across bench invocations
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
+# program; cache them across bench invocations (env vars alone are reset
+# by the deployment's sitecustomize — the config.update path works)
+from sat_bundleadjust_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
 
 
 def numpy_reference_solver(scene, max_nfev=20):

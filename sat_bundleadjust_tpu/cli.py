@@ -26,8 +26,10 @@ def main():
     )
     args = parser.parse_args()
 
+    from sat_bundleadjust_tpu.utils.compile_cache import enable_persistent_cache
     from sat_bundleadjust_tpu.utils.io import load_dict_from_json
 
+    enable_persistent_cache()
     cfg = load_dict_from_json(args.config)
 
     import sat_bundleadjust_tpu
