@@ -289,3 +289,26 @@ def measure_squared_km_from_lonlat_geojson(lonlat_geojson):
     """Reference: geo_utils.py:285-292."""
     utm_geojson = utm_geojson_from_lonlat_geojson(lonlat_geojson)
     return geojson_to_polygon(utm_geojson).area * 1e-6
+
+
+def geoid_to_ellipsoid(lat, lon, z):
+    """EGM96 geoid height -> WGS84 ellipsoid height.
+
+    Reference: bundle_adjust/s2p/geographiclib.py:16-37, which routes the
+    conversion through pyproj (EPSG:4326+5773 -> EPSG:4979). The reference
+    defines this but never calls it from the pipeline; it is provided here
+    for API parity. The conversion needs the EGM96 geoid grid, which ships
+    with PROJ: if pyproj is unavailable (as in minimal deployments), this
+    raises NotImplementedError rather than silently returning wrong
+    heights."""
+    try:
+        import pyproj
+    except ImportError as e:
+        raise NotImplementedError(
+            "geoid_to_ellipsoid requires pyproj with the EGM96 geoid grid "
+            "(PROJ data); install pyproj or convert heights externally"
+        ) from e
+    ellipsoid = pyproj.CRS.from_epsg(4979)
+    geoid = pyproj.CRS("EPSG:4326+5773")
+    transformer = pyproj.Transformer.from_crs(geoid, ellipsoid)
+    return transformer.transform(lat, lon, z)[-1]
