@@ -148,8 +148,15 @@ def build_problem(p, schur_mode=None):
     Backend-aware default: on accelerators the matrix-free CG Schur solver
     is preferred (compact program, segment-sum matvecs); the dense Cholesky
     path is the CPU default for small camera counts."""
+    # MXU dense assembly needs the (N, M) obs lookup and two transient
+    # (N, M, P, 3) f32 gathers in-program: afford it only when N*M is small
+    # enough (72 bytes/entry transient; 3e7 entries ~ 2 GB HBM)
+    mxu_ok = p.n_pts * p.n_cam <= 30_000_000
     if schur_mode is None:
         if jax.default_backend() != "cpu":
+            # measured on TPU at 50 cams/80k obs: CG with gather-table
+            # matvecs beats the MXU dense assembly (18 vs 36 ms/step);
+            # dense stays available via schur_mode="dense"
             schur_mode = "cg"
         else:
             schur_mode = "dense" if p.n_cam <= 192 else "cg"
@@ -166,7 +173,16 @@ def build_problem(p, schur_mode=None):
         # scatter-free segment sums (gather + dense reduce; see ops/lm.py)
         pt_gather=jnp.asarray(lm_ops.build_gather_segments(p.pts_ind, p.n_pts)),
         cam_gather=jnp.asarray(lm_ops.build_gather_segments(p.cam_ind, p.n_cam)),
+        obs_at=None,
     )
+    if mxu_ok:
+        table = lm_ops.build_obs_at(p.pts_ind, p.cam_ind, p.n_pts, p.n_cam)
+        if table is not None:
+            prob = prob._replace(obs_at=jnp.asarray(table))
+    if schur_mode == "dense" and prob.obs_at is None and jax.default_backend() != "cpu":
+        # the pair-based dense assembly program is too large for the remote
+        # compiler; without the obs_at table fall back to CG on accelerators
+        schur_mode = "cg"
     return prob, schur_mode
 
 
@@ -205,12 +221,14 @@ class BASolver:
         cam0 = jnp.asarray(self.p.opt_block())
         pts0 = jnp.asarray(self.p.pts3d)
         t0 = time.time()
-        err_init = _reproj_err(self.residual_fn(cam0, pts0), self.p.pts2d_w)
         cam, pts, info = lm_ops.solve(
             self.residual_fn, self.jac_fn, cam0, pts0, self.prob, cfg,
             run=self._get_run(cfg),
         )
-        err_ba = _reproj_err(self.residual_fn(cam, pts), self.p.pts2d_w)
+        # per-obs errors come back with the solve (one dispatch, one fetch
+        # — separate residual_fn calls each pay a tunnel RTT)
+        err_init = np.asarray(info.pop("err0"))
+        err_ba = np.asarray(info.pop("err_fin"))
         info["wall_time"] = time.time() - t0
         return (cam0, pts0), (cam, pts), err_init, err_ba, info
 

@@ -55,6 +55,11 @@ class LMProblem(NamedTuple):
     # arrays are traced values).
     pt_gather: jnp.ndarray = None  # (N, Tp) int32 or None
     cam_gather: jnp.ndarray = None  # (M, Tc) int32 or None
+    # (N, M) int32 obs lookup (sentinel K): a track observes each camera at
+    # most once, so the Schur off-diagonal assembles as ONE (MP, 3N) x
+    # (3N, MP) matmul on the MXU instead of per-pair segment sums. Built
+    # only when N*M is small enough to afford the table (build_problem).
+    obs_at: jnp.ndarray = None
 
 
 class LMConfig(NamedTuple):
@@ -218,6 +223,53 @@ def _dense_schur_solve(U_d, W, Vinv, b, prob: LMProblem, n_cam, cam_opt_mask):
     return dc.reshape(n_cam, P)
 
 
+def build_obs_at(pts_ind, cam_ind, n_pts, n_cam):
+    """Host-side (N, M) obs-index lookup (sentinel K where a track does not
+    observe a camera) for the MXU dense Schur assembly."""
+    pts_ind = np.asarray(pts_ind)
+    cam_ind = np.asarray(cam_ind)
+    K = len(pts_ind)
+    # a correspondence matrix has one observation per (track, camera); if a
+    # degenerate input violates that, the table would silently drop
+    # observations — return None so the caller falls back to the pair path
+    flat = pts_ind.astype(np.int64) * n_cam + cam_ind
+    if len(np.unique(flat)) != K:
+        return None
+    table = np.full((n_pts, n_cam), K, dtype=np.int32)
+    table[pts_ind, cam_ind] = np.arange(K, dtype=np.int32)
+    return table
+
+
+def _dense_mxu_schur_solve(U_d, W, Vinv, b, prob: LMProblem, n_cam, cam_opt_mask):
+    """Dense reduced camera system via one MXU matmul.
+
+    S[c1 p, c2 q] = U_d on the block diagonal minus
+    sum_n sum_t A[n,c1,p,t] * B[n,c2,q,t] with A = Y scattered over the
+    (track, camera) grid and B = W likewise; the scatter is a gather from
+    the host-built obs_at table (each track sees a camera at most once)."""
+    P = U_d.shape[-1]
+    dt = U_d.dtype
+    Y = sm.mm(W, Vinv[prob.pts_ind])  # (K, P, 3)
+    pad = jnp.zeros((1, P, 3), dt)
+    A = jnp.concatenate([Y, pad])[prob.obs_at]  # (N, M, P, 3)
+    B = jnp.concatenate([W, pad])[prob.obs_at]  # (N, M, P, 3)
+    n_pts = prob.obs_at.shape[0]
+    Am = A.transpose(1, 2, 0, 3).reshape(n_cam * P, n_pts * 3)
+    Bm = B.transpose(1, 2, 0, 3).reshape(n_cam * P, n_pts * 3)
+    S = -jnp.matmul(Am, Bm.T, preferred_element_type=dt)  # (MP, MP)
+    S = S.reshape(n_cam, P, n_cam, P)
+    S = S.at[jnp.arange(n_cam), :, jnp.arange(n_cam), :].add(U_d)
+    S = S.reshape(n_cam * P, n_cam * P)
+
+    m = jnp.repeat(cam_opt_mask, P)
+    S = S * m[:, None] * m[None, :] + jnp.diag(1.0 - m)
+    b = b.reshape(-1) * m
+
+    L = jnp.linalg.cholesky(S)
+    dc = jax.scipy.linalg.cho_solve((L, True), b)
+    return dc.reshape(n_cam, P)
+
+
 def _cg_schur_solve(U_d, W, Vinv, b, prob: LMProblem, n_cam, cam_opt_mask, cg_iters,
                     psum_axis=None, cg_rtol=1e-2):
     """Matrix-free CG on the Schur complement, in float32.
@@ -319,7 +371,10 @@ def lm_step(r, J_cam, J_pt, lam, prob: LMProblem, n_cam, n_pts, cfg: LMConfig,
 
     cmask = prob.cam_opt_mask.astype(dt)
     if cfg.schur_mode == "dense" and psum_axis is None:
-        dcam = _dense_schur_solve(U_d, W, Vinv, b, prob, n_cam, cmask)
+        if prob.obs_at is not None:
+            dcam = _dense_mxu_schur_solve(U_d, W, Vinv, b, prob, n_cam, cmask)
+        else:
+            dcam = _dense_schur_solve(U_d, W, Vinv, b, prob, n_cam, cmask)
     else:
         dcam = _cg_schur_solve(
             U_d, W, Vinv, b, prob, n_cam, cmask, cfg.cg_iters, psum_axis,
@@ -357,7 +412,8 @@ def build_solve(residual_fn, jac_fn, n_cam, n_pts, prob: LMProblem, cfg: LMConfi
 
     @jax.jit
     def run(cam, pts, max_iter):
-        cost0 = cost_of(residual_fn(cam, pts))
+        r0 = residual_fn(cam, pts)
+        cost0 = cost_of(r0)
         # absolute floor: cost is in squared (weighted) pixels; 1e-14 px^2
         # per observation is far below any physical noise, so reaching it
         # means "exactly solved" (prevents dozens of pointless iterations
@@ -403,7 +459,15 @@ def build_solve(residual_fn, jac_fn, n_cam, n_pts, prob: LMProblem, cfg: LMConfi
             jnp.asarray(0), jnp.asarray(False),
         )
         cam, pts, lam, cost, n_iter, _ = jax.lax.while_loop(cond, body, state0)
-        return cam, pts, lam, cost, n_iter, cost0
+        # also return per-observation unweighted reprojection errors:
+        # computing them in separate dispatches costs a tunnel round trip
+        # each, and (K,) f32 norms transfer 8x less than (K, 2) f64
+        # residuals (reference: ba_core.compute_reprojection_error)
+        r_fin = residual_fn(cam, pts)
+        w = prob.weights[:, None]
+        err0 = jnp.linalg.norm((r0 / w), axis=1).astype(jnp.float32)
+        err_fin = jnp.linalg.norm((r_fin / w), axis=1).astype(jnp.float32)
+        return cam, pts, lam, cost, n_iter, cost0, err0, err_fin
 
     return run
 
@@ -415,12 +479,14 @@ def solve(residual_fn, jac_fn, cam0, pts0, prob: LMProblem, cfg: LMConfig, run=N
         run = build_solve(residual_fn, jac_fn, cam0.shape[0], pts0.shape[0], prob, cfg)
     # max_iter is a dynamic operand so solves with different iteration caps
     # share one compiled program (compilation is expensive on remote devices)
-    cam, pts, lam, cost, n_iter, cost0 = run(
+    cam, pts, lam, cost, n_iter, cost0, err0, err_fin = run(
         jnp.asarray(cam0), jnp.asarray(pts0), jnp.asarray(cfg.max_iter)
     )
     info = {
         "cost0": float(cost0),
         "cost": float(cost),
+        "err0": err0,
+        "err_fin": err_fin,
         "iterations": int(n_iter),
         "lambda": float(lam),
     }
