@@ -26,7 +26,7 @@ from sat_bundleadjust_tpu.ops.robust import loss_cost
 from sat_bundleadjust_tpu.parallel.mesh import OBS_AXIS, make_mesh
 
 
-def shard_observations(pts_ind, cam_ind, pts2d, weights, n_pts, n_shards):
+def shard_observations(pts_ind, cam_ind, pts2d, weights, n_pts, n_shards, n_cam=None):
     """Partition observations by track into n_shards balanced shards.
 
     Returns dict of stacked padded arrays with leading dim n_shards; padded
@@ -69,11 +69,36 @@ def shard_observations(pts_ind, cam_ind, pts2d, weights, n_pts, n_shards):
                 out[s, : len(idx)] = arr[idx]
         return out
 
+    # per-shard scatter-free segment-sum tables (ops/lm.py): indices refer
+    # to LOCAL padded obs positions; the sentinel K_pad addresses the zero
+    # row appended by _seg_sum. Built from real observations only so that
+    # segment widths reflect actual track/camera loads, not padding.
+    pt_tables, cam_tables = [], []
+    if n_cam is None:
+        n_cam = int(cam_ind.max()) + 1 if len(cam_ind) else 1
+    for s in range(n_shards):
+        idx = np.concatenate(shards[s]) if shards[s] else np.zeros(0, np.int64)
+        tp = lm_ops.build_gather_segments(pts_ind[idx], n_pts)
+        tc = lm_ops.build_gather_segments(cam_ind[idx], n_cam)
+        tp[tp == len(idx)] = K_pad
+        tc[tc == len(idx)] = K_pad
+        pt_tables.append(tp)
+        cam_tables.append(tc)
+
+    def stack_tables(tables):
+        T = max(t.shape[1] for t in tables)
+        out = np.full((n_shards, tables[0].shape[0], T), K_pad, np.int32)
+        for s, t in enumerate(tables):
+            out[s, :, : t.shape[1]] = t
+        return out
+
     return {
         "pts_ind": pad(pts_ind, 0, np.int32),
         "cam_ind": pad(cam_ind, 0, np.int32),
         "pts2d": pad(pts2d, 0.0, np.float64),
         "weights": pad(weights, 0.0, np.float64),
+        "pt_gather": stack_tables(pt_tables),
+        "cam_gather": stack_tables(cam_tables),
         "shard_of_track": shard_of_track,
     }
 
@@ -153,6 +178,7 @@ class DistributedLM:
                 pts_ind=pts_ind, cam_ind=cam_ind, pts2d=pts2d, weights=w,
                 cam_opt_mask=cam_opt_mask, pts_opt_mask=pts_opt_mask,
                 pair_k1=jnp.zeros(0, jnp.int32), pair_k2=jnp.zeros(0, jnp.int32),
+                pt_gather=obs["pt_gather"][0], cam_gather=obs["cam_gather"][0],
             )
             dcam, dpt = lm_ops.lm_step(
                 r, J_cam, J_pt, lam, prob, cam.shape[0], pts.shape[0], cfg_local,
