@@ -146,7 +146,7 @@ def bench_tracks():
     import jax
 
     from sat_bundleadjust_tpu.ops.match import match_pair
-    from sat_bundleadjust_tpu.ops.sift import detect_sift
+    from sat_bundleadjust_tpu.ops.sift import detect_sift_batch
     from sat_bundleadjust_tpu.tracks.build import feature_tracks_from_pairwise_matches
     from sat_bundleadjust_tpu.utils.demo import render_synthetic_images
 
@@ -158,12 +158,12 @@ def bench_tracks():
     images, _ = render_synthetic_images(n_cam=n_im, h=h, w=w, seed=0)
     pairs = [(i, j) for i in range(n_im) for j in range(i + 1, n_im)]
 
-    # warm the per-shape compilations (detection octaves + matcher)
-    f0 = np.asarray(detect_sift(images[0], max_kp=max_kp))
+    # warm the per-shape compilations (batched detection octaves + matcher)
+    f0 = np.asarray(detect_sift_batch(images, max_kp=max_kp)[0])
     match_pair(f0, f0)
 
     t0 = time.time()
-    feats = [np.asarray(detect_sift(im, max_kp=max_kp)) for im in images]
+    feats = [np.asarray(f) for f in detect_sift_batch(images, max_kp=max_kp)]
     det_time = time.time() - t0
     pm = []
     for (i, j) in pairs:

@@ -198,12 +198,36 @@ def _bilinear(im, x, y):
     return (1 - fy) * ((1 - fx) * v00 + fx * v01) + fy * ((1 - fx) * v10 + fx * v11)
 
 
+def _bilinear_level(imf, x, y, level, H):
+    """Bilinear sample from level `level` of a level-flattened (S*H, W)
+    image stack. Folding the level into the row index keeps this a pure
+    gather — `stack[level]` per keypoint is a dynamic-slice that XLA can
+    fail to fuse under vmap (it materialized (B*K, 1, H, W) broadcasts on
+    the batched path)."""
+    w = imf.shape[1]
+    x = jnp.clip(x, 0.0, w - 1.001)
+    y = jnp.clip(y, 0.0, H - 1.001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = x - x0
+    fy = y - y0
+    yb = y0 + level * H
+    v00 = imf[yb, x0]
+    v01 = imf[yb, x0 + 1]
+    v10 = imf[yb + 1, x0]
+    v11 = imf[yb + 1, x0 + 1]
+    return (1 - fy) * ((1 - fx) * v00 + fx * v01) + fy * ((1 - fx) * v10 + fx * v11)
+
+
 def _orientation_and_descriptor(grad_x, grad_y, kp_x, kp_y, kp_sigma_oct, kp_level, valid):
     """Per-keypoint principal orientation + 128-dim descriptor.
 
     grad_*: (S, H, W) gradients of the octave's scale-space images.
     kp_level: int (S index) of the nearest scale-space image.
     All vmapped over keypoints; patch sampling is gather-based."""
+    S_lv, H_im, W_im = grad_x.shape
+    gxf = grad_x.reshape(S_lv * H_im, W_im)
+    gyf = grad_y.reshape(S_lv * H_im, W_im)
 
     # ---- orientation: 36-bin histogram over a 3*lambda_ori*sigma window,
     # sampled on a sigma-proportional 21x21 grid (the window is exactly
@@ -216,27 +240,26 @@ def _orientation_and_descriptor(grad_x, grad_y, kp_x, kp_y, kp_sigma_oct, kp_lev
     gvs = jnp.asarray(gvs.reshape(-1), dtype=jnp.float32)
 
     def orientation(kx, ky, sigma, level):
-        gx_im = grad_x[level]
-        gy_im = grad_y[level]
         win_radius = 3.0 * LAMBDA_ORI * sigma
         dxs = win_radius * gus
         dys = win_radius * gvs
         px = kx + dxs
         py = ky + dys
-        gx = _bilinear(gx_im, px, py)
-        gy = _bilinear(gy_im, px, py)
+        gx = _bilinear_level(gxf, px, py, level, H_im)
+        gy = _bilinear_level(gyf, px, py, level, H_im)
         mag = jnp.hypot(gx, gy)
         ang = jnp.arctan2(gy, gx)  # [-pi, pi]
         d2 = dxs ** 2 + dys ** 2
         win_sigma = LAMBDA_ORI * sigma
         w = jnp.exp(-d2 / (2 * win_sigma ** 2)) * (d2 <= (3 * win_sigma) ** 2)
         fbin = (ang + jnp.pi) / (2 * jnp.pi) * N_BINS
-        # dense masked reduction instead of a scatter (XLA scatters serialize
-        # on CPU and are slow on TPU); static 36-iteration loop fuses into
-        # one vectorized kernel
+        # one-hot contraction instead of a scatter (XLA scatters serialize
+        # on CPU and are slow on TPU); a (S, 36) matmul vectorizes cleanly
+        # under the keypoint/image vmaps
         wm = w * mag
         bins = jnp.mod(jnp.floor(fbin), N_BINS)
-        hist = jnp.stack([jnp.sum(wm * (bins == b)) for b in range(N_BINS)])
+        onehot = (bins[:, None] == jnp.arange(N_BINS, dtype=bins.dtype)[None, :])
+        hist = wm @ onehot.astype(wm.dtype)
         # circular smoothing (6 box passes, IPOL style)
         for _ in range(6):
             hist = (jnp.roll(hist, 1) + hist + jnp.roll(hist, -1)) / 3.0
@@ -274,8 +297,6 @@ def _orientation_and_descriptor(grad_x, grad_y, kp_x, kp_y, kp_sigma_oct, kp_lev
     vs = jnp.asarray(vs.reshape(-1), dtype=jnp.float32)
 
     def descriptor(kx, ky, sigma, level, theta):
-        gx_im = grad_x[level]
-        gy_im = grad_y[level]
         radius = LAMBDA_DESCR * sigma * (N_HIST + 1.0) / N_HIST
         ct, st = jnp.cos(theta), jnp.sin(theta)
         # rotated sampling positions
@@ -283,8 +304,8 @@ def _orientation_and_descriptor(grad_x, grad_y, kp_x, kp_y, kp_sigma_oct, kp_lev
         sy = radius * vs
         px = kx + ct * sx - st * sy
         py = ky + st * sx + ct * sy
-        gx = _bilinear(gx_im, px, py)
-        gy = _bilinear(gy_im, px, py)
+        gx = _bilinear_level(gxf, px, py, level, H_im)
+        gy = _bilinear_level(gyf, px, py, level, H_im)
         mag = jnp.hypot(gx, gy)
         ang = jnp.arctan2(gy, gx) - theta
         # gaussian weight exp(-d^2 / (2 (lambda_descr sigma)^2)) with
@@ -324,8 +345,7 @@ def _orientation_and_descriptor(grad_x, grad_y, kp_x, kp_y, kp_sigma_oct, kp_lev
     return thetas, descs, thetas2, descs2, valid2 & valid
 
 
-@partial(jax.jit, static_argnames=("n_scales", "max_kp_per_octave"))
-def _process_octave(current, sig_inc, thresh_dog, n_scales, max_kp_per_octave):
+def _process_octave_impl(current, sig_inc, thresh_dog, n_scales, max_kp_per_octave):
     """One whole octave as a single compiled program: scale space -> DoG ->
     extrema + refinement -> orientations + descriptors -> next-octave seed.
 
@@ -355,6 +375,19 @@ def _process_octave(current, sig_inc, thresh_dog, n_scales, max_kp_per_octave):
     return kp, (thetas, descs, thetas2, descs2, valid2), next_seed
 
 
+_process_octave = partial(jax.jit, static_argnames=("n_scales", "max_kp_per_octave"))(
+    _process_octave_impl
+)
+
+
+@partial(jax.jit, static_argnames=("n_scales", "max_kp_per_octave"))
+def _process_octave_batch(current, sig_inc, thresh_dog, n_scales, max_kp_per_octave):
+    """One octave over a (B, H, W) stack of same-shape images."""
+    return jax.vmap(
+        lambda c: _process_octave_impl(c, sig_inc, thresh_dog, n_scales, max_kp_per_octave)
+    )(current)
+
+
 _MAX_BLUR_RADIUS = 13  # 4-sigma support for the largest incremental blur (~3.1 octave px)
 
 
@@ -381,21 +414,53 @@ def detect_sift(image, thresh_dog=0.0133, n_octaves=8, n_scales=3, max_kp=None,
 
     Returns an (N, 132) numpy array (col, row, scale, orientation,
     descriptor) in the input image's pixel coordinates."""
-    image = np.asarray(image, dtype=np.float32)
-    lo, hi = np.min(image), np.max(image)
-    image = (image - lo) / max(hi - lo, 1e-12)
-    im = jnp.asarray(image)
+    return detect_sift_batch(
+        [image], thresh_dog=thresh_dog, n_octaves=n_octaves, n_scales=n_scales,
+        max_kp=max_kp, max_kp_per_octave=max_kp_per_octave,
+    )[0]
+
+
+# images per compiled program: bounds scale-space working memory. 6 full
+# 300x400 images in one program crashed the tunneled v5e worker; 4 is safe
+# with headroom (per-image first-octave footprint ~60 MB + XLA transients)
+BATCH_CHUNK = 4
+
+
+def detect_sift_batch(images, thresh_dog=0.0133, n_octaves=8, n_scales=3,
+                      max_kp=None, max_kp_per_octave=MAX_KP_PER_OCTAVE):
+    """SIFT detection over a list of SAME-SHAPE grayscale images.
+
+    One vmapped octave program per octave shape serves a chunk of the
+    stack: B images cost 8 device dispatches per chunk instead of 8 each,
+    and the small upper octaves batch into better-utilized kernels.
+
+    Returns a list of (N_i, 132) numpy arrays."""
+    if len(images) > BATCH_CHUNK:
+        out = []
+        for s in range(0, len(images), BATCH_CHUNK):
+            out.extend(detect_sift_batch(
+                images[s : s + BATCH_CHUNK], thresh_dog=thresh_dog,
+                n_octaves=n_octaves, n_scales=n_scales, max_kp=max_kp,
+                max_kp_per_octave=max_kp_per_octave,
+            ))
+        return out
+    ims = []
+    for image in images:
+        image = np.asarray(image, dtype=np.float32)
+        lo, hi = np.min(image), np.max(image)
+        ims.append((image - lo) / max(hi - lo, 1e-12))
+    im = jnp.asarray(np.stack(ims))  # (B, H, W)
+    B = im.shape[0]
 
     # seed: upsample to delta_min and reach sigma_min
-    seed = _upsample2(im)
     sigma_extra = np.sqrt(max(SIGMA_MIN ** 2 - SIGMA_IN ** 2, 0.0)) / DELTA_MIN
-    seed = _blur(seed, sigma_extra)
+    seed = jax.jit(jax.vmap(lambda x: _blur(_upsample2(x), sigma_extra)))(im)
 
     results = []
     delta = DELTA_MIN
     current = seed
     for o in range(n_octaves):
-        H, W = current.shape
+        H, W = current.shape[1:]
         if H < 12 or W < 12:
             break
         # absolute sigmas of this octave's n_scales+3 images
@@ -411,7 +476,7 @@ def detect_sift(image, thresh_dog=0.0133, n_octaves=8, n_scales=3, max_kp=None,
         # images of the same size.
         slots = int(min(max_kp_per_octave, max(128, (H * W) // 300)))
 
-        kp, (thetas, descs, thetas2, descs2, valid2), current = _process_octave(
+        kp, (thetas, descs, thetas2, descs2, valid2), current = _process_octave_batch(
             current, jnp.asarray(sig_inc, dtype=jnp.float32),
             jnp.float32(thresh_dog), n_scales, slots,
         )
@@ -445,27 +510,31 @@ def detect_sift(image, thresh_dog=0.0133, n_octaves=8, n_scales=3, max_kp=None,
         )
         delta *= 2.0
 
-    # assemble (single host synchronization for the whole image)
+    # assemble (single host synchronization for the whole batch)
     results = jax.device_get(results)
-    rows = []
-    for r in results:
-        v = r["valid"]
-        if not np.any(v):
+    out = []
+    for b in range(B):
+        rows = []
+        for r in results:
+            v = r["valid"][b]
+            if not np.any(v):
+                continue
+            feats = np.concatenate(
+                [
+                    r["col"][b][v, None],
+                    r["row"][b][v, None],
+                    r["scale"][b][v, None],
+                    r["theta"][b][v, None],
+                    r["desc"][b][v],
+                ],
+                axis=1,
+            )
+            rows.append(feats)
+        if not rows:
+            out.append(np.zeros((0, 132)))
             continue
-        feats = np.concatenate(
-            [
-                r["col"][v, None],
-                r["row"][v, None],
-                r["scale"][v, None],
-                r["theta"][v, None],
-                r["desc"][v],
-            ],
-            axis=1,
-        )
-        rows.append(feats)
-    if not rows:
-        return np.zeros((0, 132))
-    feats = np.concatenate(rows, axis=0)
-    if max_kp is not None and feats.shape[0] > max_kp:
-        feats = feats[np.argsort(-feats[:, 2], kind="stable")[:max_kp]]
-    return feats
+        feats = np.concatenate(rows, axis=0)
+        if max_kp is not None and feats.shape[0] > max_kp:
+            feats = feats[np.argsort(-feats[:, 2], kind="stable")[:max_kp]]
+        out.append(feats)
+    return out

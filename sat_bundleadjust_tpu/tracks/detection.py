@@ -83,28 +83,48 @@ def detect_features_image_sequence(geotiff_paths, mask_paths=None, offsets=None,
     max_kp = None if tracks_config is None else config["FT_kp_max"]
     backend = config["FT_sift_detection"]
 
-    features = []
+    # first pass: resolve caches and load the images that need detection
+    n = len(geotiff_paths)
+    resolved = [None] * n
+    to_detect = []  # (i, image, mask)
     for i, geotiff_path in enumerate(geotiff_paths):
-        found_existing = False
         if not config["FT_reset"] and "in_dir" in config:
             npy_in = os.path.join(config["in_dir"], "features/{}.npy".format(get_id(geotiff_path)))
             if os.path.exists(npy_in):
-                features_i = np.load(npy_in)
-                found_existing = True
-        if not found_existing:
-            offset_i = None if offsets is None else offsets[i]
-            mask = None if mask_paths is None else np.load(mask_paths[i])
-            if backend == "opencv":
-                image = loader.load_image(geotiff_path, offset=offset_i, equalize=True)
-                features_i = detect_opencv(image, mask)
-            else:  # "tpu" (also accepts the reference's "s2p" name)
-                image = loader.load_image(geotiff_path, offset=offset_i)
-                features_i = detect_tpu(
-                    image, mask,
-                    thresh_dog=config.get("FT_thresh_dog", 0.0133),
-                    max_kp=max_kp,
-                )
-            features_i = _top_k_by_scale(features_i, max_kp)
+                resolved[i] = np.load(npy_in)
+                continue
+        offset_i = None if offsets is None else offsets[i]
+        mask = None if mask_paths is None else np.load(mask_paths[i])
+        image = loader.load_image(
+            geotiff_path, offset=offset_i, equalize=(backend == "opencv")
+        )
+        to_detect.append((i, image, mask))
+
+    if backend == "opencv":
+        for i, image, mask in to_detect:
+            resolved[i] = _top_k_by_scale(detect_opencv(image, mask), max_kp)
+    else:  # "tpu" (also accepts the reference's "s2p" name)
+        from sat_bundleadjust_tpu.ops.sift import detect_sift_batch
+
+        thresh = config.get("FT_thresh_dog", 0.0133)
+        # batch same-shape images through one vmapped octave program set
+        # (8 dispatches per shape group instead of 8 per image)
+        by_shape = {}
+        for i, image, mask in to_detect:
+            by_shape.setdefault(np.asarray(image).shape, []).append((i, image, mask))
+        for group in by_shape.values():
+            feats_list = detect_sift_batch(
+                [np.asarray(im, dtype=np.float32) for _, im, _ in group],
+                thresh_dog=thresh, max_kp=max_kp,
+            )
+            for (i, _, mask), feats in zip(group, feats_list):
+                if mask is not None and feats.shape[0] > 0:
+                    feats = _apply_mask(feats, mask)
+                resolved[i] = _top_k_by_scale(feats, max_kp)
+
+    features = []
+    for i, geotiff_path in enumerate(geotiff_paths):
+        features_i = resolved[i]
         n_kp = int(np.sum(~np.isnan(features_i[:, 0])))
         flush_print("{} keypoints in image {}".format(n_kp, i))
 
