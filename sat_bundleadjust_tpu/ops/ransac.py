@@ -199,7 +199,7 @@ def _preferred_device():
 
     if jax.default_backend() != "cpu":
         try:
-            return jax.devices("cpu")[0]
+            return jax.local_devices(backend="cpu")[0]
         except RuntimeError:
             return None
     return None

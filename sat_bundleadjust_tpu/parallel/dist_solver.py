@@ -9,12 +9,20 @@ and 7 step 6:
   * the reduced camera system (gradient g_cam, block diagonal U and the
     Schur matvec W V^-1 W^T x) is accumulated with a single psum over the
     ICI "obs" mesh axis per CG matvec;
-  * camera parameters and increments stay replicated.
+  * camera parameters and increments stay replicated;
+  * the ENTIRE damped LM loop (step + cost + accept/reject) runs as ONE
+    compiled program — a lax.while_loop inside the shard_mapped solve — so
+    a distributed solve is a single dispatch, exactly like the single-chip
+    driver (ops/lm.py build_solve). The psum'd step and cost are replicated
+    across shards, so every shard takes identical accept/reject branches.
 
 This is the structural analog of data parallelism with an all-reduce of
 the (small) camera normal system — the reference's closest counterpart is
 the multiprocessing fan-out of ft_match.py:342-393, which communicates
-through the filesystem instead."""
+through the filesystem instead. Works unchanged in multi-process
+(jax.distributed) deployments: see parallel/multihost.py and
+parallel/mesh.global_put (per-host shard materialization).
+"""
 
 import jax
 import jax.numpy as jnp
@@ -23,7 +31,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from sat_bundleadjust_tpu.ops import lm as lm_ops
 from sat_bundleadjust_tpu.ops.robust import loss_cost
-from sat_bundleadjust_tpu.parallel.mesh import OBS_AXIS, make_mesh
+from sat_bundleadjust_tpu.parallel.mesh import OBS_AXIS, global_put, make_mesh
 
 
 def shard_observations(pts_ind, cam_ind, pts2d, weights, n_pts, n_shards, n_cam=None):
@@ -31,7 +39,9 @@ def shard_observations(pts_ind, cam_ind, pts2d, weights, n_pts, n_shards, n_cam=
 
     Returns dict of stacked padded arrays with leading dim n_shards; padded
     entries have weight 0 (they contribute exactly zero to residuals and
-    normal equations since r and J carry the weight factor)."""
+    normal equations since r and J carry the weight factor). "obs_index"
+    maps each slot back to the original observation row (-1 for padding) so
+    per-observation outputs (reprojection errors) can be scattered back."""
     pts_ind = np.asarray(pts_ind)
     cam_ind = np.asarray(cam_ind)
     pts2d = np.asarray(pts2d)
@@ -92,6 +102,12 @@ def shard_observations(pts_ind, cam_ind, pts2d, weights, n_pts, n_shards, n_cam=
             out[s, :, : t.shape[1]] = t
         return out
 
+    obs_index = np.full((n_shards, K_pad), -1, np.int64)
+    for s in range(n_shards):
+        if shards[s]:
+            idx = np.concatenate(shards[s])
+            obs_index[s, : len(idx)] = idx
+
     return {
         "pts_ind": pad(pts_ind, 0, np.int32),
         "cam_ind": pad(cam_ind, 0, np.int32),
@@ -100,7 +116,11 @@ def shard_observations(pts_ind, cam_ind, pts2d, weights, n_pts, n_shards, n_cam=
         "pt_gather": stack_tables(pt_tables),
         "cam_gather": stack_tables(cam_tables),
         "shard_of_track": shard_of_track,
+        "obs_index": obs_index,
     }
+
+
+_HOST_KEYS = ("shard_of_track", "obs_index")  # host-side metadata, not device operands
 
 
 class DistributedLM:
@@ -115,82 +135,48 @@ class DistributedLM:
         self.mesh = mesh if mesh is not None else make_mesh()
         self.cfg = cfg._replace(schur_mode="cg")
         self.n_cam, self.n_pts = n_cam, n_pts
-        n_shards = self.mesh.devices.size
 
         shard = NamedSharding(self.mesh, P(OBS_AXIS))
         repl = NamedSharding(self.mesh, P())
+        self.obs_index = np.asarray(sharded["obs_index"])
+        self.n_obs = int((self.obs_index >= 0).sum())
         self.obs = {
-            k: jax.device_put(jnp.asarray(v), shard)
+            k: global_put(v, shard)
             for k, v in sharded.items()
-            if k != "shard_of_track"
+            if k not in _HOST_KEYS
         }
-        self.cam_tail = jax.device_put(jnp.asarray(cam_tail), repl)
+        self.cam_tail = global_put(cam_tail, repl)
         self.rpcs = None if rpcs is None else jax.tree.map(
-            lambda l: jax.device_put(jnp.asarray(l), repl), rpcs
+            lambda l: global_put(l, repl), rpcs
         )
-        self.cam_opt_mask = jax.device_put(jnp.asarray(cam_opt_mask), repl)
-        self.pts_opt_mask = jax.device_put(jnp.asarray(pts_opt_mask), repl)
+        self.cam_opt_mask = global_put(cam_opt_mask, repl)
+        self.pts_opt_mask = global_put(pts_opt_mask, repl)
         self.repl = repl
 
         cfg_local = self.cfg
+        n_obs = self.n_obs
         if rpcs is not None and n_params is not None:
             from sat_bundleadjust_tpu.ops.fastgeo import anchors_from_rpcs
 
             anchors = {
-                k: jax.device_put(jnp.asarray(v), repl)
-                for k, v in anchors_from_rpcs(self.rpcs).items()
+                k: global_put(v, repl)
+                for k, v in anchors_from_rpcs(jax.tree.map(np.asarray, rpcs)).items()
             }
         else:
             anchors = None
         obs_leaf_specs = {k: P(OBS_AXIS) for k in self.obs}
         rpc_spec = None if self.rpcs is None else jax.tree.map(lambda _: P(), self.rpcs)
 
-        def shard_body(obs, cam_tail, rpcs, cam_opt_mask, pts_opt_mask, cam, pts, lam):
-            # obs arrays arrive with leading dim (K_shard,) after shard_map
-            pts_ind = obs["pts_ind"][0]
-            cam_ind = obs["cam_ind"][0]
-            pts2d = obs["pts2d"][0]
-            w = obs["weights"][0]
-
-            if rpcs is not None and n_params is not None:
-                # closed-form chain-rule Jacobians (ops/jacobians.py)
-                from sat_bundleadjust_tpu.ops.jacobians import residuals_and_jacobians_rpc
-
-                full_cam = jnp.concatenate([cam, cam_tail], axis=1)
-                r, J_cam, J_pt = residuals_and_jacobians_rpc(
-                    pts, rpcs, full_cam, pts_ind, cam_ind, pts2d, w, n_params, anchors
-                )
-            else:
-                if rpcs is not None:
-                    rpc_k = jax.tree.map(lambda l: l[cam_ind], rpcs)
-                else:
-                    rpc_k = jnp.zeros_like(w)
-
-                def one(co, pt, ct, rk, ob, wk):
-                    return obs_fn(co, pt, ct, rk, ob, wk)
-
-                r = jax.vmap(one)(cam[cam_ind], pts[pts_ind], cam_tail[cam_ind], rpc_k, pts2d, w)
-                J_cam, J_pt = jax.vmap(jax.jacfwd(one, argnums=(0, 1)))(
-                    cam[cam_ind], pts[pts_ind], cam_tail[cam_ind], rpc_k, pts2d, w
-                )
-
-            prob = lm_ops.LMProblem(
-                pts_ind=pts_ind, cam_ind=cam_ind, pts2d=pts2d, weights=w,
+        def local_prob(obs, cam_opt_mask, pts_opt_mask):
+            return lm_ops.LMProblem(
+                pts_ind=obs["pts_ind"][0], cam_ind=obs["cam_ind"][0],
+                pts2d=obs["pts2d"][0], weights=obs["weights"][0],
                 cam_opt_mask=cam_opt_mask, pts_opt_mask=pts_opt_mask,
                 pair_k1=jnp.zeros(0, jnp.int32), pair_k2=jnp.zeros(0, jnp.int32),
                 pt_gather=obs["pt_gather"][0], cam_gather=obs["cam_gather"][0],
             )
-            dcam, dpt = lm_ops.lm_step(
-                r, J_cam, J_pt, lam, prob, cam.shape[0], pts.shape[0], cfg_local,
-                psum_axis=OBS_AXIS,
-            )
-            # dpt is exact on the shard owning the track, zero elsewhere
-            dpt = jax.lax.psum(dpt, OBS_AXIS)
-            cost_local = loss_cost(cfg_local.loss, r, cfg_local.f_scale)
-            cost = jax.lax.psum(cost_local, OBS_AXIS)
-            return dcam, dpt, cost
 
-        def cost_body(obs, cam_tail, rpcs, cam, pts):
+        def local_residuals(obs, cam_tail, rpcs, cam, pts):
             pts_ind = obs["pts_ind"][0]
             cam_ind = obs["cam_ind"][0]
             pts2d = obs["pts2d"][0]
@@ -199,22 +185,116 @@ class DistributedLM:
                 from sat_bundleadjust_tpu.ops.jacobians import residuals_rpc
 
                 full_cam = jnp.concatenate([cam, cam_tail], axis=1)
-                r = residuals_rpc(pts, rpcs, full_cam, pts_ind, cam_ind, pts2d, w, anchors)
+                return residuals_rpc(pts, rpcs, full_cam, pts_ind, cam_ind, pts2d, w, anchors)
+            if rpcs is not None:
+                rpc_k = jax.tree.map(lambda l: l[cam_ind], rpcs)
             else:
-                if rpcs is not None:
-                    rpc_k = jax.tree.map(lambda l: l[cam_ind], rpcs)
-                else:
-                    rpc_k = jnp.zeros_like(w)
-                r = jax.vmap(obs_fn)(cam[cam_ind], pts[pts_ind], cam_tail[cam_ind], rpc_k, pts2d, w)
+                rpc_k = jnp.zeros_like(w)
+            return jax.vmap(obs_fn)(cam[cam_ind], pts[pts_ind], cam_tail[cam_ind], rpc_k, pts2d, w)
+
+        def local_jacobians(obs, cam_tail, rpcs, cam, pts):
+            pts_ind = obs["pts_ind"][0]
+            cam_ind = obs["cam_ind"][0]
+            pts2d = obs["pts2d"][0]
+            w = obs["weights"][0]
+            if rpcs is not None and n_params is not None:
+                # closed-form chain-rule Jacobians (ops/jacobians.py)
+                from sat_bundleadjust_tpu.ops.jacobians import residuals_and_jacobians_rpc
+
+                full_cam = jnp.concatenate([cam, cam_tail], axis=1)
+                return residuals_and_jacobians_rpc(
+                    pts, rpcs, full_cam, pts_ind, cam_ind, pts2d, w, n_params, anchors
+                )
+            if rpcs is not None:
+                rpc_k = jax.tree.map(lambda l: l[cam_ind], rpcs)
+            else:
+                rpc_k = jnp.zeros_like(w)
+
+            def one(co, pt, ct, rk, ob, wk):
+                return obs_fn(co, pt, ct, rk, ob, wk)
+
+            r = jax.vmap(one)(cam[cam_ind], pts[pts_ind], cam_tail[cam_ind], rpc_k, pts2d, w)
+            J_cam, J_pt = jax.vmap(jax.jacfwd(one, argnums=(0, 1)))(
+                cam[cam_ind], pts[pts_ind], cam_tail[cam_ind], rpc_k, pts2d, w
+            )
+            return r, J_cam, J_pt
+
+        def solve_body(obs, cam_tail, rpcs, cam_opt_mask, pts_opt_mask, cam, pts, max_iter):
+            """The whole damped-LM loop on-mesh: mirrors ops/lm.build_solve
+            but with psum-reduced camera system, point step and cost."""
+            prob = local_prob(obs, cam_opt_mask, pts_opt_mask)
+
+            def cost_of(r):
+                return jax.lax.psum(loss_cost(cfg_local.loss, r, cfg_local.f_scale), OBS_AXIS)
+
+            def step(cam, pts, lam):
+                r, J_cam, J_pt = local_jacobians(obs, cam_tail, rpcs, cam, pts)
+                dcam, dpt = lm_ops.lm_step(
+                    r, J_cam, J_pt, lam, prob, cam.shape[0], pts.shape[0], cfg_local,
+                    psum_axis=OBS_AXIS,
+                )
+                # dpt is exact on the shard owning the track, zero elsewhere
+                return dcam, jax.lax.psum(dpt, OBS_AXIS)
+
+            r0 = local_residuals(obs, cam_tail, rpcs, cam, pts)
+            cost0 = cost_of(r0)
+            cost_floor = jnp.maximum(1e-15 * jnp.maximum(cost0, 1.0), 1e-14 * n_obs)
+
+            def body(state):
+                cam, pts, lam, cost, n_iter, done = state
+                dcam, dpt = step(cam, pts, lam)
+                cam_new = cam + dcam
+                pts_new = pts + dpt
+                new_cost = cost_of(local_residuals(obs, cam_tail, rpcs, cam_new, pts_new))
+                improved = new_cost < cost
+                rel_drop = (cost - new_cost) / jnp.maximum(cost, 1e-30)
+                step_norm = jnp.sqrt(jnp.sum(dcam * dcam) + jnp.sum(dpt * dpt))
+                x_norm = jnp.sqrt(jnp.sum(cam * cam) + jnp.sum(pts * pts))
+                small_step = step_norm < cfg_local.xtol * (x_norm + cfg_local.xtol)
+                cam = jnp.where(improved, cam_new, cam)
+                pts = jnp.where(improved, pts_new, pts)
+                lam = jnp.where(improved, lam / cfg_local.lambda_down, lam * cfg_local.lambda_up)
+                cost = jnp.where(improved, new_cost, cost)
+                done = (
+                    done
+                    | (improved & (rel_drop < cfg_local.ftol))
+                    | (improved & small_step)
+                    | (lam > 1e12)
+                    | (cost <= cost_floor)
+                )
+                return cam, pts, lam, cost, n_iter + 1, done
+
+            def cond(state):
+                _, _, _, _, n_iter, done = state
+                return (~done) & (n_iter < max_iter)
+
+            state0 = (
+                cam, pts, jnp.asarray(cfg_local.lambda0, cam.dtype), cost0,
+                jnp.asarray(0), jnp.asarray(False),
+            )
+            cam, pts, lam, cost, n_iter, _ = jax.lax.while_loop(cond, body, state0)
+
+            # per-observation unweighted reprojection errors, kept sharded
+            w = obs["weights"][0]
+            valid = w > 0
+            safe_w = jnp.where(valid, w, 1.0)
+            r_fin = local_residuals(obs, cam_tail, rpcs, cam, pts)
+            err0 = jnp.where(valid, jnp.linalg.norm(r0 / safe_w[:, None], axis=1), 0.0)
+            err_fin = jnp.where(valid, jnp.linalg.norm(r_fin / safe_w[:, None], axis=1), 0.0)
+            return cam, pts, lam, cost, n_iter, cost0, err0[None].astype(jnp.float32), err_fin[None].astype(jnp.float32)
+
+        def cost_body(obs, cam_tail, rpcs, cam, pts):
+            r = local_residuals(obs, cam_tail, rpcs, cam, pts)
             return jax.lax.psum(loss_cost(cfg_local.loss, r, cfg_local.f_scale), OBS_AXIS)
 
-        in_specs_step = (
+        in_specs_solve = (
             obs_leaf_specs, P(), rpc_spec, P(), P(), P(), P(), P(),
         )
-        self._step = jax.jit(
+        self._solve = jax.jit(
             jax.shard_map(
-                shard_body, mesh=self.mesh, in_specs=in_specs_step,
-                out_specs=(P(), P(), P()), check_vma=False,
+                solve_body, mesh=self.mesh, in_specs=in_specs_solve,
+                out_specs=(P(), P(), P(), P(), P(), P(), P(OBS_AXIS), P(OBS_AXIS)),
+                check_vma=False,
             )
         )
         in_specs_cost = (obs_leaf_specs, P(), rpc_spec, P(), P())
@@ -229,35 +309,41 @@ class DistributedLM:
         c = self._cost(self.obs, self.cam_tail, self.rpcs, cam, pts)
         return float(np.asarray(c).reshape(-1)[0])
 
+    def _gather_errs(self, err_sharded):
+        """Scatter sharded per-slot errors back to original obs order."""
+        if not err_sharded.is_fully_addressable:
+            # multi-process: all-gather the sharded output so every host
+            # reports the full error vector (it is small — (K,) f32)
+            from jax.experimental import multihost_utils
+
+            err = np.asarray(multihost_utils.process_allgather(err_sharded, tiled=True))
+        else:
+            err = np.asarray(jax.device_get(err_sharded))
+        err = err.reshape(self.obs_index.shape)
+        out = np.zeros(self.n_obs, np.float32)
+        mask = self.obs_index >= 0
+        out[self.obs_index[mask]] = err[mask]
+        return out
+
     def solve(self, cam0, pts0):
-        cam = jax.device_put(jnp.asarray(cam0), self.repl)
-        pts = jax.device_put(jnp.asarray(pts0), self.repl)
-        lam = self.cfg.lambda0
-        cost = self.cost(cam, pts)
-        cost0 = cost
-        n_obs = int(np.asarray(self.obs["weights"]).size)
-        cost_floor = max(1e-15 * max(cost0, 1.0), 1e-14 * n_obs)
-        iters = 0
-        for _ in range(self.cfg.max_iter):
-            dcam, dpt, _ = self._step(
-                self.obs, self.cam_tail, self.rpcs, self.cam_opt_mask,
-                self.pts_opt_mask, cam, pts, jnp.asarray(lam, jnp.float64),
-            )
-            cam_new = cam + dcam
-            pts_new = pts + dpt
-            new_cost = self.cost(cam_new, pts_new)
-            iters += 1
-            if new_cost < cost:
-                rel_drop = (cost - new_cost) / max(cost, 1e-30)
-                cam, pts, cost = cam_new, pts_new, new_cost
-                lam /= self.cfg.lambda_down
-                if rel_drop < self.cfg.ftol or cost <= cost_floor:
-                    break
-            else:
-                lam *= self.cfg.lambda_up
-                if lam > 1e12:
-                    break
-        return cam, pts, {"cost0": cost0, "cost": cost, "iterations": iters}
+        """Full LM solve in ONE device dispatch (compiled while_loop on the
+        mesh). Returns (cam, pts, info); info carries per-observation
+        reprojection errors before/after in original observation order."""
+        cam = global_put(cam0, self.repl)
+        pts = global_put(pts0, self.repl)
+        cam, pts, lam, cost, n_iter, cost0, err0, err_fin = self._solve(
+            self.obs, self.cam_tail, self.rpcs, self.cam_opt_mask,
+            self.pts_opt_mask, cam, pts, jnp.asarray(self.cfg.max_iter),
+        )
+        info = {
+            "cost0": float(np.asarray(cost0)),
+            "cost": float(np.asarray(cost)),
+            "iterations": int(np.asarray(n_iter)),
+            "lambda": float(np.asarray(lam)),
+            "err0": self._gather_errs(err0),
+            "err_fin": self._gather_errs(err_fin),
+        }
+        return cam, pts, info
 
 
 def run_distributed_ba(p, ls_params=None, mesh=None):

@@ -29,3 +29,21 @@ def replicated(mesh):
 
 def sharded_leading(mesh):
     return NamedSharding(mesh, P(OBS_AXIS))
+
+
+def global_put(x, sharding):
+    """Place a host array onto the mesh under `sharding`, working in both
+    single-controller and multi-process (jax.distributed) deployments.
+
+    Single process: plain device_put. Multi-process: build the global jax.Array
+    from a callback — the callback is only invoked for this process's
+    addressable shards, so each host materializes (and transfers) exactly its
+    local slice of the data. This is the TPU-native analog of the reference's
+    per-worker npy-file exchange (ft_s2p.py:123-124): data stays host-local,
+    the global array is the shared handle."""
+    import jax.numpy as jnp
+
+    x = jnp.asarray(x) if jax.process_count() == 1 else np.asarray(x)
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])

@@ -89,7 +89,10 @@ def make_scene_arrays(n_cam=8, n_pts=2000, obs_per_pt=None, rot_scale=2e-5,
     # scene generation is host-side setup: pin it to CPU so it does not pay
     # a (slow, remote) accelerator compilation
     try:
-        cpu0 = jax.devices("cpu")[0]
+        # local_devices, not devices: in a multi-process (jax.distributed)
+        # deployment global device 0 may belong to another process, and
+        # dispatching to a non-addressable device is fatal
+        cpu0 = jax.local_devices(backend="cpu")[0]
     except RuntimeError:
         cpu0 = None
     ctx = jax.default_device(cpu0) if cpu0 is not None else _nullcontext()

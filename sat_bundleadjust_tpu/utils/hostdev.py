@@ -25,7 +25,7 @@ def _cpu_device():
     if jax.default_backend() == "cpu":
         return None
     try:
-        return jax.devices("cpu")[0]
+        return jax.local_devices(backend="cpu")[0]
     except RuntimeError:
         return None
 
