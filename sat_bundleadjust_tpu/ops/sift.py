@@ -427,21 +427,30 @@ BATCH_CHUNK = 4
 
 
 def detect_sift_batch(images, thresh_dog=0.0133, n_octaves=8, n_scales=3,
-                      max_kp=None, max_kp_per_octave=MAX_KP_PER_OCTAVE):
+                      max_kp=None, max_kp_per_octave=MAX_KP_PER_OCTAVE,
+                      device_put_fn=None, batch_chunk=None):
     """SIFT detection over a list of SAME-SHAPE grayscale images.
 
     One vmapped octave program per octave shape serves a chunk of the
     stack: B images cost 8 device dispatches per chunk instead of 8 each,
     and the small upper octaves batch into better-utilized kernels.
 
+    device_put_fn/batch_chunk: mesh hooks (parallel/feature_shard.py) —
+    placing the stacked batch with a sharded leading axis lets XLA
+    partition the vmapped octave programs across devices (the TPU-native
+    analog of the reference's multiprocessing detection fan-out,
+    ft_s2p.py:97-124).
+
     Returns a list of (N_i, 132) numpy arrays."""
-    if len(images) > BATCH_CHUNK:
+    chunk = BATCH_CHUNK if batch_chunk is None else batch_chunk
+    if len(images) > chunk:
         out = []
-        for s in range(0, len(images), BATCH_CHUNK):
+        for s in range(0, len(images), chunk):
             out.extend(detect_sift_batch(
-                images[s : s + BATCH_CHUNK], thresh_dog=thresh_dog,
+                images[s : s + chunk], thresh_dog=thresh_dog,
                 n_octaves=n_octaves, n_scales=n_scales, max_kp=max_kp,
                 max_kp_per_octave=max_kp_per_octave,
+                device_put_fn=device_put_fn, batch_chunk=batch_chunk,
             ))
         return out
     ims = []
@@ -449,7 +458,8 @@ def detect_sift_batch(images, thresh_dog=0.0133, n_octaves=8, n_scales=3,
         image = np.asarray(image, dtype=np.float32)
         lo, hi = np.min(image), np.max(image)
         ims.append((image - lo) / max(hi - lo, 1e-12))
-    im = jnp.asarray(np.stack(ims))  # (B, H, W)
+    im = np.stack(ims)  # (B, H, W)
+    im = jnp.asarray(im) if device_put_fn is None else device_put_fn(im)
     B = im.shape[0]
 
     # seed: upsample to delta_min and reach sigma_min

@@ -104,18 +104,20 @@ def detect_features_image_sequence(geotiff_paths, mask_paths=None, offsets=None,
         for i, image, mask in to_detect:
             resolved[i] = _top_k_by_scale(detect_opencv(image, mask), max_kp)
     else:  # "tpu" (also accepts the reference's "s2p" name)
-        from sat_bundleadjust_tpu.ops.sift import detect_sift_batch
+        from sat_bundleadjust_tpu.parallel.feature_shard import detect_batches_mesh
 
-        thresh = config.get("FT_thresh_dog", 0.0133)
         # batch same-shape images through one vmapped octave program set
-        # (8 dispatches per shape group instead of 8 per image)
+        # (8 dispatches per shape group instead of 8 per image); with more
+        # than one device the batch axis is sharded over the mesh
+        # (parallel/feature_shard.py — the reference's Pool fan-out axis,
+        # ft_s2p.py:97-124)
         by_shape = {}
         for i, image, mask in to_detect:
             by_shape.setdefault(np.asarray(image).shape, []).append((i, image, mask))
         for group in by_shape.values():
-            feats_list = detect_sift_batch(
+            feats_list = detect_batches_mesh(
                 [np.asarray(im, dtype=np.float32) for _, im, _ in group],
-                thresh_dog=thresh, max_kp=max_kp,
+                config, max_kp=max_kp,
             )
             for (i, _, mask), feats in zip(group, feats_list):
                 if mask is not None and feats.shape[0] > 0:

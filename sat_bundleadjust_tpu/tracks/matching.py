@@ -7,9 +7,11 @@ ops/match.py instead of the native sift4ctypes matcher), the UTM
 geo-consistency elbow filter, and the npy match caching protocol.
 
 Parallelism note: the reference fans pairs out over multiprocessing.Pool /
-ray workers (ft_match.py:342-393). Here a single process drives the
-device; each pair is one batched kernel launch, and scale-out across
-devices shards the pair list (see sat_bundleadjust_tpu/parallel)."""
+ray workers (ft_match.py:342-393). Here each pair is one batched kernel
+launch on a single device, and when the runtime has more than one device
+match_stereo_pairs shards the pair list over the mesh
+(parallel/feature_shard.match_pairs_mesh: one pair per device per
+dispatch, host-side RANSAC/elbow finalize on the survivors)."""
 
 import os
 
@@ -184,55 +186,140 @@ def affine_fundamental_matrix(matches):
     return F
 
 
+def _finalize_pair_from_nn(fi, fj, idx_i, idx_j, nn_idx, accepted, utm_i, utm_j,
+                           tracks_config):
+    """Host-side finalize shared with the mesh path: RANSAC geometric
+    filter on the accepted 2-NN matches, index remap to the full keypoint
+    arrays, then the UTM-consistency elbow filter."""
+    from sat_bundleadjust_tpu.ops.match import _finalize_matches
+
+    matches_poly, n_ratio, n_ransac = _finalize_matches(
+        fi, fj, np.asarray(nn_idx), np.asarray(accepted), tracks_config["FT_ransac"]
+    )
+    if matches_poly is None:
+        return None
+    matches_ij = np.stack(
+        [idx_i[matches_poly[:, 0]], idx_j[matches_poly[:, 1]]], axis=1
+    )
+    if matches_ij.shape[0] > 0:
+        matches_ij = filter_matches_inconsistent_utm_coords(matches_ij, utm_i, utm_j)
+    return matches_ij
+
+
 def match_stereo_pairs(pairs_to_match, features, footprints, utm_coords, tracks_config,
-                       F=None, thread_idx=None):
+                       F=None, thread_idx=None, mesh=None):
     """Match all pairs; returns (K, 4) rows (kp_i, kp_j, im_i, im_j).
 
     Implements the npy caching protocol of the reference
     (ft_match.py:289-336): matches are cached per pair id in
     matches/pairwise_matches/<idA>_<idB>.npy, reused in either order when
-    FT_reset is False."""
-    kp_rows, im_rows = [], []
+    FT_reset is False.
+
+    With more than one device the uncached pairs' 2-NN stage runs sharded
+    over the mesh (one pair per device per dispatch) — the TPU-native
+    replacement of the reference's Pool/ray fan-out (ft_match.py:342-393)."""
     F = [None] * len(pairs_to_match) if F is None else F
     in_dir = tracks_config.get("in_dir", "")
     out_dir = tracks_config.get("out_dir", "")
+    load = lambda x: np.load(x, mmap_mode="r") if isinstance(x, str) else np.asarray(x)
+    fid = lambda x: get_id(x) if isinstance(x, str) else str(x)
 
+    # pass 1: resolve caches, restrict uncached pairs to their UTM bbox
+    resolved = [None] * len(pairs_to_match)  # matches_ij or None
+    npy_ids = [None] * len(pairs_to_match)
+    from_cache = [False] * len(pairs_to_match)
+    to_match = []  # (idx, fi, fj, idx_i, idx_j, utm_i, utm_j)
     for idx, (i, j) in enumerate(pairs_to_match):
-        poly_i = geo_utils.geojson_to_polygon(footprints[i]["geojson"])
-        poly_j = geo_utils.geojson_to_polygon(footprints[j]["geojson"])
-        utm_polygon = poly_i.intersection(poly_j)
-
-        fid = lambda x: get_id(x) if isinstance(x, str) else str(x)
         npy_id1 = "{}_{}.npy".format(fid(features[i]), fid(features[j]))
         npy_id2 = "{}_{}.npy".format(fid(features[j]), fid(features[i]))
         npy_path1 = os.path.join(in_dir, "pairwise_matches", npy_id1)
         npy_path2 = os.path.join(in_dir, "pairwise_matches", npy_id2)
-        npy_id = npy_id1
+        npy_ids[idx] = npy_id1
 
         if in_dir and os.path.exists(npy_path1) and not tracks_config["FT_reset"]:
-            matches_ij = np.load(npy_path1)
-        elif in_dir and os.path.exists(npy_path2) and not tracks_config["FT_reset"]:
-            matches_ij = np.load(npy_path2)[:, ::-1]
-            npy_id = npy_id2
-        else:
-            if utm_polygon.coords.shape[0] < 3:
-                matches_ij = None
-            else:
-                matches_ij, n = match_kp_within_utm_polygon(
-                    features[i], features[j], utm_coords[i], utm_coords[j],
-                    utm_polygon, tracks_config, F[idx]
-                )
-            n_matches = 0 if matches_ij is None else matches_ij.shape[0]
-            print("{:4} matches in pair {}".format(n_matches, (i, j)), flush=True)
+            resolved[idx] = np.load(npy_path1)
+            from_cache[idx] = npy_path1
+            continue
+        if in_dir and os.path.exists(npy_path2) and not tracks_config["FT_reset"]:
+            resolved[idx] = np.load(npy_path2)[:, ::-1]
+            npy_ids[idx] = npy_id2
+            from_cache[idx] = npy_path2
+            continue
 
+        poly_i = geo_utils.geojson_to_polygon(footprints[i]["geojson"])
+        poly_j = geo_utils.geojson_to_polygon(footprints[j]["geojson"])
+        utm_polygon = poly_i.intersection(poly_j)
+        if utm_polygon.coords.shape[0] < 3:
+            continue
+        utm_i, utm_j = load(utm_coords[i]), load(utm_coords[j])
+        east_poly = utm_polygon.coords[:, 0]
+        north_poly = utm_polygon.coords[:, 1]
+        idx_i = get_pt_indices_inside_utm_bbx(
+            utm_i[:, 0], utm_i[:, 1], east_poly.min(), east_poly.max(),
+            north_poly.min(), north_poly.max()
+        )
+        idx_j = get_pt_indices_inside_utm_bbx(
+            utm_j[:, 0], utm_j[:, 1], east_poly.min(), east_poly.max(),
+            north_poly.min(), north_poly.max()
+        )
+        if len(idx_i) == 0 or len(idx_j) == 0:
+            continue
+        fi = np.asarray(load(features[i])[idx_i])
+        fj = np.asarray(load(features[j])[idx_j])
+        to_match.append((idx, fi, fj, idx_i, idx_j, np.asarray(utm_i), np.asarray(utm_j)))
+
+    # pass 2: the O(N^2) 2-NN stage — sharded over the mesh when possible
+    method_cfg = tracks_config["FT_sift_matching"]
+    mesh_ok = method_cfg in ("epipolar_based", "bruteforce", "flann", "absolute")
+    if mesh is None and mesh_ok:
+        from sat_bundleadjust_tpu.parallel.feature_shard import default_mesh_or_none
+
+        mesh = default_mesh_or_none()
+    if mesh is not None and mesh_ok and len(to_match) >= 2:
+        from sat_bundleadjust_tpu.parallel.feature_shard import match_pairs_mesh
+
+        pair_F = [
+            None if method_cfg in ("bruteforce", "flann") else F[idx]
+            for (idx, *_rest) in to_match
+        ]
+        nn_results = match_pairs_mesh(
+            [(fi, fj) for (_, fi, fj, *_r) in to_match], pair_F, tracks_config, mesh
+        )
+        for (idx, fi, fj, idx_i, idx_j, utm_i, utm_j), (nn, acc) in zip(to_match, nn_results):
+            resolved[idx] = _finalize_pair_from_nn(
+                fi, fj, idx_i, idx_j, nn, acc, utm_i, utm_j, tracks_config
+            )
+    else:
+        for (idx, fi, fj, idx_i, idx_j, utm_i, utm_j) in to_match:
+            i, j = pairs_to_match[idx]
+            poly_i = geo_utils.geojson_to_polygon(footprints[i]["geojson"])
+            poly_j = geo_utils.geojson_to_polygon(footprints[j]["geojson"])
+            matches_ij, _n = match_kp_within_utm_polygon(
+                features[i], features[j], utm_coords[i], utm_coords[j],
+                poly_i.intersection(poly_j), tracks_config, F[idx]
+            )
+            resolved[idx] = matches_ij
+
+    # pass 3: assemble, print, write caches (save semantics as the
+    # reference, ft_match.py:327-336: cached matches are re-saved when the
+    # output cache location differs from where they were loaded)
+    kp_rows, im_rows = [], []
+    for idx, (i, j) in enumerate(pairs_to_match):
+        matches_ij = resolved[idx]
         n_matches = 0 if matches_ij is None else matches_ij.shape[0]
+        if from_cache[idx]:
+            print("{:4} matches (from pre-existing file) in pair {}".format(
+                n_matches, (i, j)), flush=True)
+        else:
+            print("{:4} matches in pair {}".format(n_matches, (i, j)), flush=True)
         if n_matches > 0:
             kp_rows.extend(np.asarray(matches_ij).tolist())
             im_rows.extend([[i, j]] * n_matches)
             if tracks_config.get("FT_save") and out_dir:
-                out_path = os.path.join(out_dir, "pairwise_matches", npy_id)
-                os.makedirs(os.path.dirname(out_path), exist_ok=True)
-                np.save(out_path, np.asarray(matches_ij))
+                out_path = os.path.join(out_dir, "pairwise_matches", npy_ids[idx])
+                if out_path != from_cache[idx]:
+                    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+                    np.save(out_path, np.asarray(matches_ij))
 
     if not kp_rows:
         return np.zeros((0, 4), dtype=np.int64)
