@@ -48,7 +48,8 @@ def filter_C_using_pairs_to_triangulate(C, pairs_to_triangulate):
     return np.where(hits > 0)[0]
 
 
-def compute_obs_to_remove(err, p: BAParams, predef_thr=None, min_thr=1.0):
+def compute_obs_to_remove(err, p: BAParams, predef_thr=None, min_thr=1.0,
+                          reference_rounding=False):
     """Per-camera threshold + flagged-observation removal from C
     (reference: ba_outliers.py:112-155)."""
     err = np.asarray(err)
@@ -65,10 +66,16 @@ def compute_obs_to_remove(err, p: BAParams, predef_thr=None, min_thr=1.0):
         else:
             cam_thr.append(float(predef_thr))
 
-    # NOTE: the comparison uses the exact threshold; the reference compares
+    # Default: compare against the exact threshold. The reference compares
     # against np.round(thr, 2) (ba_outliers.py:136), which on an
-    # all-sub-0.005-px solution rounds to 0.0 and deletes every observation.
-    thr_per_obs = np.array(cam_thr)[p.cam_ind]
+    # all-sub-0.005-px solution rounds to 0.0 and deletes every
+    # observation — a bug, but reference_rounding=True reproduces it so
+    # golden comparisons can use identical probe/threshold semantics
+    # (SURVEY.md hard part (f)).
+    thr_arr = np.array(cam_thr)
+    if reference_rounding:
+        thr_arr = np.round(thr_arr, 2)
+    thr_per_obs = thr_arr[p.cam_ind]
     to_rm = err > thr_per_obs
     C_new = p.C.copy()
     rm_cam = p.cam_ind[to_rm]
@@ -119,9 +126,15 @@ def reset_ba_params_after_outlier_removal(C_new, p: BAParams, verbose=True):
     return new_p
 
 
-def rm_outliers(err, p: BAParams, predef_thr=None, min_thr=1.0, verbose=False):
-    """Reference: ba_outliers.rm_outliers (ba_outliers.py:158-186)."""
-    C_new, cam_thr, n_detected = compute_obs_to_remove(err, p, predef_thr, min_thr)
+def rm_outliers(err, p: BAParams, predef_thr=None, min_thr=1.0, verbose=False,
+                reference_rounding=False):
+    """Reference: ba_outliers.rm_outliers (ba_outliers.py:158-186).
+
+    reference_rounding reproduces the reference's np.round(thr, 2)
+    comparison for golden-parity runs (see compute_obs_to_remove)."""
+    C_new, cam_thr, n_detected = compute_obs_to_remove(
+        err, p, predef_thr, min_thr, reference_rounding=reference_rounding
+    )
     new_p = reset_ba_params_after_outlier_removal(C_new, p, verbose=verbose) if n_detected > 0 else p
     if verbose:
         n_obs_in = len(p.cam_ind)

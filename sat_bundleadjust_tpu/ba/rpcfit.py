@@ -147,8 +147,149 @@ def _irls_coeffs(target_norm, locs_norm):
     return jnp.concatenate([rn, rd, cn, cd])
 
 
-_irls_coeffs_jit = jax.jit(_irls_coeffs)
-_irls_coeffs_vmap = jax.jit(jax.vmap(_irls_coeffs))
+@jax.jit
+def _refit_batch_program(rpc_leaves, Rt_vecs, gt, cols, rows, alts):
+    """One device launch for the whole refit round, vmapped over cameras:
+    grid localization through the original RPCs -> corrected-projection
+    targets -> per-camera normalization -> IRLS -> fitted coefficients,
+    fit errors and grid predictions (for the host-side hull coverage test).
+
+    Replaces the reference's per-camera host loop (ba_pipeline.py:399-415)
+    with a single batched program.
+
+    Args: rpc_leaves: RPCModel pytree with leading dim M; Rt_vecs (M, 9);
+    gt (3,) global transform; cols/rows/alts (M, N) grids.
+    Returns coeffs (M, 80), scales (M, 10), pred (M, N, 2), err (M, N)."""
+    from sat_bundleadjust_tpu.models.rpc import rpc_localization, rpc_projection
+    from sat_bundleadjust_tpu.ops.project import adjust_pts3d
+
+    def one(rpc, rt, cols, rows, alts):
+        lon, lat = rpc_localization(rpc, cols, rows, alts)
+        x, y, z = ellipsoid.latlon_to_ecef(lat, lon, alts)
+        pts = jnp.stack([x, y, z], axis=-1) + gt
+        padj = adjust_pts3d(pts, rt)
+        lat2, lon2, alt2 = ellipsoid.ecef_to_latlon(padj[..., 0], padj[..., 1], padj[..., 2])
+        c2, r2 = rpc_projection(rpc, lon2, lat2, alt2)
+        target = jnp.stack([c2, r2], axis=-1)
+
+        def sc(v, eps):
+            s = (jnp.max(v) - jnp.min(v)) / 2.0
+            return jnp.maximum(s, eps), jnp.min(v) + s
+
+        cs, co = sc(target[:, 0], 1e-9)
+        rs, ro = sc(target[:, 1], 1e-9)
+        los, loo = sc(lon, 1e-12)
+        las, lao = sc(lat, 1e-12)
+        als, alo = sc(alts, 1e-9)
+        t_norm = jnp.stack([(target[:, 0] - co) / cs, (target[:, 1] - ro) / rs], axis=1)
+        nlon, nlat, nalt = (lon - loo) / los, (lat - lao) / las, (alts - alo) / als
+        l_norm = jnp.stack([nlon, nlat, nalt], axis=1)
+        coeffs = _irls_coeffs(t_norm, l_norm)
+
+        # fitted-model prediction on the grid: fit error (check_errors) and
+        # the reprojected hull for the coverage test in one pass
+        basis = poly20_basis(nlat, nlon, nalt)
+        row_pred = (basis @ coeffs[0:20]) / (basis @ coeffs[20:40]) * rs + ro
+        col_pred = (basis @ coeffs[40:60]) / (basis @ coeffs[60:80]) * cs + co
+        pred = jnp.stack([col_pred, row_pred], axis=-1)
+        err = jnp.linalg.norm(pred - target, axis=-1)
+        scales = jnp.stack([co, cs, ro, rs, loo, los, lao, las, alo, als])
+        return coeffs, scales, pred, err
+
+    return jax.vmap(one)(rpc_leaves, Rt_vecs, cols, rows, alts)
+
+
+def fit_rpcs_batched(Rt_vecs, global_transform, original_rpcs, crop_offsets,
+                     pts3d_ba_list, n_samples=10):
+    """Fit fresh RPCs for ALL cameras in one device launch per margin round.
+
+    The margin-doubling coverage loop (reference: ba_rpcfit.py:315-345)
+    runs per camera on the host, but every round's heavy work — grid
+    localization, corrected projection, 39x39 IRLS — is one batched
+    program over all cameras (_refit_batch_program). Cameras whose fitted
+    model already covers the image keep their result; the others re-enter
+    the next round with doubled margins (same grid shape, so the compiled
+    program is reused).
+
+    Returns a list of (rpc_calib, err, margin) per camera, identical in
+    semantics to fit_Rt_corrected_rpc."""
+    from sat_bundleadjust_tpu.models.rpc import stack_rpcs
+    from sat_bundleadjust_tpu.utils.hostdev import small_compute
+
+    M = len(original_rpcs)
+    if M == 0:
+        return []
+    gt = np.zeros(3) if global_transform is None else np.asarray(global_transform)
+    n3 = n_samples ** 3
+
+    alt_off, alt_sc = np.zeros(M), np.zeros(M)
+    for m, (rpc, pts3d_ba) in enumerate(zip(original_rpcs, pts3d_ba_list)):
+        alt_off[m] = float(np.asarray(rpc.alt_offset))
+        alt_sc[m] = float(np.asarray(rpc.alt_scale))
+        pts_alt = np.asarray(pts3d_ba) - (np.asarray(global_transform) if global_transform is not None else 0.0)
+        if len(pts_alt):
+            _, _, alts_ba = ellipsoid.ecef_to_latlon_np(pts_alt[:, 0], pts_alt[:, 1], pts_alt[:, 2])
+            deviation = abs(alt_off[m] - float(np.median(np.asarray(alts_ba))))
+            if deviation > 5:
+                print(
+                    "warning: median altitude of bundle adjustment points is "
+                    "{:.2f} meters deviated from the original rpc alt_offset".format(deviation)
+                )
+
+    boundaries = []
+    for off in crop_offsets:
+        x0, y0, w, h = off["col0"], off["row0"], off["width"], off["height"]
+        boundaries.append(Polygon(
+            np.array([[x0, y0], [x0, y0 + h], [x0 + w, y0 + h], [x0 + w, y0]])
+        ))
+
+    rpcs_b = stack_rpcs([r.to_numpy() for r in original_rpcs])
+    rpc_leaves = jax.tree.map(jnp.asarray, rpcs_b)
+    Rt = jnp.asarray(np.asarray(Rt_vecs, float).reshape(M, 9))
+
+    margins = np.full(M, 10, dtype=np.int64)
+    done = np.zeros(M, bool)
+    results = [None] * M
+    # the batched IRLS solves f64 39x39 systems: TPU XLA has no f64 LU, and
+    # the whole round is ~M*1000 points, so pin the program to the host CPU
+    with small_compute():
+        while not done.all():
+            cols = np.empty((M, n3))
+            rows = np.empty((M, n3))
+            alts = np.empty((M, n3))
+            for m in range(M):
+                off = crop_offsets[m]
+                x0, y0, w, h = off["col0"], off["row0"], off["width"], off["height"]
+                mg = margins[m]
+                c, r, a = generate_point_mesh(
+                    [x0 - mg, x0 + w + mg, n_samples],
+                    [y0 - mg, y0 + h + mg, n_samples],
+                    [alt_off[m] - alt_sc[m], alt_off[m] + alt_sc[m], n_samples],
+                )
+                cols[m], rows[m], alts[m] = c, r, a
+            coeffs, scales, pred, err = jax.device_get(_refit_batch_program(
+                rpc_leaves, Rt, jnp.asarray(gt), jnp.asarray(cols),
+                jnp.asarray(rows), jnp.asarray(alts),
+            ))
+            for m in range(M):
+                if done[m]:
+                    continue
+                covered = check_correspondences_are_good(pred[m], boundaries[m])
+                if covered or margins[m] > 1000:
+                    co, cs, ro, rs, loo, los, lao, las, alo, als = scales[m]
+                    rpc_calib = RPCModel(
+                        line_num=coeffs[m, 0:20], line_den=coeffs[m, 20:40],
+                        samp_num=coeffs[m, 40:60], samp_den=coeffs[m, 60:80],
+                        row_offset=ro, col_offset=co,
+                        lat_offset=lao, lon_offset=loo, alt_offset=alo,
+                        row_scale=rs, col_scale=cs,
+                        lat_scale=las, lon_scale=los, alt_scale=als,
+                    )
+                    results[m] = (rpc_calib, err[m], int(margins[m]))
+                    done[m] = True
+                else:
+                    margins[m] *= 2
+    return results
 
 
 def _irls_coeffs_np(target_norm, locs_norm):

@@ -57,6 +57,9 @@ class BundleAdjustmentPipeline:
         self.fix_ref_cam = extra_ba_config.get("fix_ref_cam", False)
         self.ref_cam_weight = extra_ba_config.get("ref_cam_weight", 1.0) if self.fix_ref_cam else 1.0
         self.clean_outliers = extra_ba_config.get("clean_outliers", True)
+        # golden-parity mode: reproduce the reference's np.round(thr, 2)
+        # outlier-threshold comparison (ba_outliers.py:136; see ba/outliers)
+        self.outlier_thr_rounding = extra_ba_config.get("outlier_thr_rounding", False)
         self.max_init_reproj_error = extra_ba_config.get("max_init_reproj_error", None)
         self.save_figures = extra_ba_config.get("save_figures", True)
 
@@ -271,7 +274,10 @@ class BundleAdjustmentPipeline:
     def clean_outlier_observations(self):
         """Reference: ba_pipeline.py:352-359."""
         t0 = timeit.default_timer()
-        self.ba_params = ba_outliers.rm_outliers(self.ba_e, self.ba_params, verbose=True)
+        self.ba_params = ba_outliers.rm_outliers(
+            self.ba_e, self.ba_params, verbose=True,
+            reference_rounding=self.outlier_thr_rounding,
+        )
         flush_print(
             "Removal of outliers based on reprojection error took {:.2f} seconds".format(
                 timeit.default_timer() - t0
@@ -448,15 +454,23 @@ class BundleAdjustmentPipeline:
             for cam_idx in range(self.n_adj):
                 self.cameras[cam_idx].write_to_file(fnames[cam_idx])
             cam_prev = list(self.ba_params.cam_prev_indices)
-            for cam_idx in range(self.n_adj, self.n_adj + self.n_new):
-                Rt_vec = np.asarray(self.corrected_cameras[cam_idx]).reshape(1, 9)
-                original_rpc = self.cameras[cam_idx]
-                mask = ~np.isnan(self.ba_params.C[2 * cam_prev.index(cam_idx)])
-                pts_seen = self.ba_params.pts3d_ba[mask]
-                rpc_calib, err, margin = ba_rpcfit.fit_Rt_corrected_rpc(
-                    Rt_vec, self.global_transform, original_rpc,
-                    self.images[cam_idx].offset, pts_seen,
-                )
+            new_indices = list(range(self.n_adj, self.n_adj + self.n_new))
+            # batched refit: every camera's grid localization + corrected
+            # targets + IRLS in ONE device launch per margin round
+            # (ba/rpcfit.fit_rpcs_batched) instead of the reference's
+            # per-camera host loop (ba_pipeline.py:399-415)
+            pts_seen = [
+                self.ba_params.pts3d_ba[~np.isnan(self.ba_params.C[2 * cam_prev.index(c)])]
+                for c in new_indices
+            ]
+            results = ba_rpcfit.fit_rpcs_batched(
+                [np.asarray(self.corrected_cameras[c]).reshape(9) for c in new_indices],
+                self.global_transform,
+                [self.cameras[c] for c in new_indices],
+                [self.images[c].offset for c in new_indices],
+                pts_seen,
+            )
+            for cam_idx, (rpc_calib, err, margin) in zip(new_indices, results):
                 flush_print(
                     "cam {:2} - RPC fit error per obs [1e-4 px] max / med: {:.2f} / {:.2f} (margin {})".format(
                         cam_idx, 1e4 * err.max(), 1e4 * np.median(err), margin

@@ -58,20 +58,29 @@ class Polygon:
 
     @property
     def is_valid(self):
-        """True if no two non-adjacent edges intersect (simple polygon)."""
+        """True if no two non-adjacent edges intersect (simple polygon).
+        Vectorized over all edge pairs (broadcast cross products)."""
         c = self.coords
         n = len(c)
         if n < 3:
             return False
-        for i in range(n):
-            a1, a2 = c[i], c[(i + 1) % n]
-            for j in range(i + 1, n):
-                if j == i or (j + 1) % n == i or (i + 1) % n == j:
-                    continue
-                b1, b2 = c[j], c[(j + 1) % n]
-                if _segments_intersect(a1, a2, b1, b2):
-                    return False
-        return True
+        i_idx, j_idx = np.triu_indices(n, 1)
+        adjacent = ((j_idx - i_idx) % n == 1) | ((i_idx - j_idx) % n == 1)
+        i_idx, j_idx = i_idx[~adjacent], j_idx[~adjacent]
+        if len(i_idx) == 0:
+            return True
+        p1, p2 = c[i_idx], c[(i_idx + 1) % n]
+        p3, p4 = c[j_idx], c[(j_idx + 1) % n]
+
+        def cross(a, b):
+            return a[:, 0] * b[:, 1] - a[:, 1] * b[:, 0]
+
+        d1 = cross(p4 - p3, p1 - p3)
+        d2 = cross(p4 - p3, p2 - p3)
+        d3 = cross(p2 - p1, p3 - p1)
+        d4 = cross(p2 - p1, p4 - p1)
+        inter = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
+        return not bool(np.any(inter))
 
     # -- predicates / ops ----------------------------------------------
 
@@ -79,8 +88,30 @@ class Polygon:
         return _point_in_polygon(np.asarray(p), self.coords)
 
     def contains_points(self, pts):
-        pts = np.asarray(pts)
-        return np.array([_point_in_polygon(p, self.coords) for p in pts])
+        """Vectorized ray-crossing test for (P, 2) points: same parity rule
+        as _point_in_polygon, broadcast over all points at once (needed for
+        per-pixel AOI masks at real image sizes)."""
+        pts = np.asarray(pts, dtype=np.float64)
+        c = self.coords
+        n = len(c)
+        if n < 3 or len(pts) == 0:
+            return np.zeros(len(pts), dtype=bool)
+        xi, yi = c[:, 0], c[:, 1]
+        xj, yj = np.roll(xi, 1), np.roll(yi, 1)
+        # precompute per-edge slope terms; chunk points so the (chunk, n)
+        # broadcast temporaries stay cache-resident at mask scales
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = (xj - xi) / (yj - yi)
+        out = np.empty(len(pts), dtype=bool)
+        chunk = 1 << 17
+        for s in range(0, len(pts), chunk):
+            x = pts[s : s + chunk, 0:1]
+            y = pts[s : s + chunk, 1:2]
+            cond = (yi[None, :] > y) != (yj[None, :] > y)
+            with np.errstate(invalid="ignore"):
+                hits = cond & (x < slope[None, :] * (y - yi[None, :]) + xi[None, :])
+            out[s : s + chunk] = hits.sum(axis=1) % 2
+        return out
 
     def intersection(self, other):
         """Convex-convex intersection (non-convex inputs are hulled)."""

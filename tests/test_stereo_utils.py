@@ -86,3 +86,60 @@ def test_fundamental_matrix_cameras():
     x2 = (P2 @ X.T).T
     vals = np.abs(np.einsum("ni,ij,nj->n", x2, F, x1))
     assert np.max(vals / (np.abs(x1[:, 2] * x2[:, 2]) + 1e-9)) < 1e-8
+
+
+def test_polygon_contains_points_vectorized_parity():
+    """Vectorized ray-crossing must match the scalar winding test, incl. a
+    non-convex polygon, and run fast enough for per-pixel masks."""
+    import time
+
+    from sat_bundleadjust_tpu.utils.polygons import Polygon, _point_in_polygon
+
+    rng = np.random.RandomState(0)
+    star = np.array([[0, 0], [4, 1], [8, 0], [5, 4], [8, 8], [4, 6], [0, 8], [2, 4]], float)
+    poly = Polygon(star)
+    pts = rng.uniform(-1, 9, (2000, 2))
+    got = poly.contains_points(pts)
+    want = np.array([_point_in_polygon(p, poly.coords) for p in pts])
+    assert np.array_equal(got, want)
+
+    # 4M points (a 2000x2000 mask) against an 8-gon stays around a
+    # second even on the shared 4-core CI box; footprint quads are ~2x
+    # faster (the production mask path rasterizes with cv2.fillPoly)
+    big = rng.uniform(-1, 9, (4_000_000, 2))
+    t0 = time.time()
+    poly.contains_points(big)
+    assert time.time() - t0 < 2.5
+
+
+def test_polygon_is_valid_vectorized():
+    from sat_bundleadjust_tpu.utils.polygons import Polygon
+
+    square = Polygon(np.array([[0, 0], [1, 0], [1, 1], [0, 1]], float))
+    bowtie = Polygon(np.array([[0, 0], [1, 1], [1, 0], [0, 1]], float))
+    assert square.is_valid
+    assert not bowtie.is_valid
+
+
+def test_outlier_reference_rounding_mode():
+    """reference_rounding=True reproduces np.round(thr, 2) comparison
+    (reference ba_outliers.py:136); default compares the exact threshold."""
+    from sat_bundleadjust_tpu.ba.outliers import compute_obs_to_remove
+
+    class P:
+        pass
+
+    p = P()
+    p.n_cam = 1
+    n = 100
+    p.cam_ind = np.zeros(n, int)
+    p.pts_ind = np.arange(n)
+    p.C = np.full((2, n), 1.0)
+    err = np.full(n, 0.004)  # excellent solution, sub-0.005 px everywhere
+    # exact comparison with predef_thr 0.004999: keeps everything
+    _, thr, n_rm = compute_obs_to_remove(err, p, predef_thr=0.004999)
+    assert n_rm == 0
+    # reference mode rounds 0.004999 -> 0.0 and deletes every observation
+    _, thr, n_rm = compute_obs_to_remove(err, p, predef_thr=0.004999,
+                                         reference_rounding=True)
+    assert n_rm == n
