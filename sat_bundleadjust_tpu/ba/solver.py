@@ -201,7 +201,8 @@ class BASolver:
         self._runs = {}
 
     def _get_run(self, cfg):
-        key = (cfg.loss, cfg.f_scale, cfg.ftol, cfg.xtol, cfg.schur_mode)
+        key = (cfg.loss, cfg.f_scale, cfg.ftol, cfg.xtol, cfg.schur_mode,
+               cfg.cg_iters, cfg.cg_rtol)
         if key not in self._runs:
             self._runs[key] = lm_ops.build_solve(
                 self.residual_fn, self.jac_fn, self.p.n_cam, self.p.n_pts, self.prob, cfg

@@ -72,11 +72,14 @@ class LMConfig(NamedTuple):
     lambda_up: float = 5.0
     lambda_down: float = 3.0
     schur_mode: str = "dense"  # "dense" | "cg"
-    cg_iters: int = 60
-    # inexact-Newton forcing: CG stops at ||r|| <= cg_rtol * ||b|| (LM
-    # damping absorbs the step error; tightening this 100x was measured to
-    # cost ~3x wall-clock for no iteration-count benefit)
-    cg_rtol: float = 1e-2
+    # truncated inexact Newton: with the Schur-diagonal block-Jacobi
+    # preconditioner ~10-15 CG iterations per LM step is enough for a
+    # descent direction (measured at 50 cams: cap 10 costs +1 LM iteration
+    # and halves device wall vs cap 60; same practice as Ceres/PBA's
+    # ITERATIVE_SCHUR defaults). LM damping absorbs the step error.
+    cg_iters: int = 15
+    # forcing term: CG also stops at ||r|| <= cg_rtol * ||b||
+    cg_rtol: float = 1e-1
 
 
 def build_intra_track_pairs(pts_ind, n_pts):
@@ -303,13 +306,19 @@ def _cg_schur_solve(U_d, W, Vinv, b, prob: LMProblem, n_cam, cam_opt_mask, cg_it
             out = jax.lax.psum(out, psum_axis)
         return out * m + x * (1.0 - m)
 
-    # Jacobi (block-diagonal) preconditioner. Inverted in f32: TPU XLA has
-    # no f64 LU, and preconditioner accuracy is uncritical.
-    U_for_prec = U_d
+    # Block-Jacobi preconditioner built from the TRUE Schur diagonal:
+    # S_cc = U_cc - sum_{k in obs(c)} Y_k W_k^T (a track observes a camera
+    # at most once, so only the k1 == k2 pair survives on the diagonal).
+    # Preconditioning with S's diagonal instead of U alone cuts CG
+    # iteration counts ~3x at small damping, where U is a poor proxy for S.
+    # Inverted in f32: TPU XLA has no f64 LU, and preconditioner accuracy
+    # is uncritical.
+    Y = sm.mm(W, Vinv[prob.pts_ind])  # (K, P, 3)
+    S_diag = U_d - _seg_sum_cam(sm.mbt(Y, W), prob, n_cam)
     if psum_axis is not None:
-        U_for_prec = jax.lax.psum(U_d, psum_axis)
+        S_diag = jax.lax.psum(S_diag, psum_axis)
     prec = jnp.linalg.inv(
-        (U_for_prec + jnp.eye(P) * 1e-12).astype(jnp.float32)
+        (S_diag + jnp.eye(P) * 1e-12).astype(jnp.float32)
     ).astype(U_d.dtype)
 
     def apply_prec(v):
@@ -402,7 +411,10 @@ def build_solve(residual_fn, jac_fn, n_cam, n_pts, prob: LMProblem, cfg: LMConfi
     to the device — important both for XLA scheduling and for
     remote/tunneled devices where every dispatch pays round-trip latency.
 
-    Returns run(cam, pts, max_iter) -> (cam, pts, lam, cost, n_iter, cost0).
+    Returns run(cam, pts, max_iter) -> (cam, pts, scalars, errs) with
+    scalars = [lam, cost, n_iter, cost0] and errs = stacked (2, K)
+    initial/final reprojection errors (packed so the host fetch is two
+    transfers, not six tunnel round trips).
     Keep the returned callable around to reuse its compilation cache."""
 
     def cost_of(r):
@@ -467,7 +479,14 @@ def build_solve(residual_fn, jac_fn, n_cam, n_pts, prob: LMProblem, cfg: LMConfi
         w = prob.weights[:, None]
         err0 = jnp.linalg.norm((r0 / w), axis=1).astype(jnp.float32)
         err_fin = jnp.linalg.norm((r_fin / w), axis=1).astype(jnp.float32)
-        return cam, pts, lam, cost, n_iter, cost0, err0, err_fin
+        # pack scalars / same-shape arrays: each host fetch of a separate
+        # device value pays a full tunnel round trip (~28 ms measured), so
+        # return ONE scalar vector and ONE stacked error array
+        scalars = jnp.stack(
+            [lam, cost, n_iter.astype(cam.dtype), cost0]
+        )
+        errs = jnp.stack([err0, err_fin])
+        return cam, pts, scalars, errs
 
     return run
 
@@ -479,14 +498,18 @@ def solve(residual_fn, jac_fn, cam0, pts0, prob: LMProblem, cfg: LMConfig, run=N
         run = build_solve(residual_fn, jac_fn, cam0.shape[0], pts0.shape[0], prob, cfg)
     # max_iter is a dynamic operand so solves with different iteration caps
     # share one compiled program (compilation is expensive on remote devices)
-    cam, pts, lam, cost, n_iter, cost0, err0, err_fin = run(
+    cam, pts, scalars, errs = run(
         jnp.asarray(cam0), jnp.asarray(pts0), jnp.asarray(cfg.max_iter)
     )
+    # two host transfers total (scalars vector + stacked errors) instead of
+    # one ~28 ms tunnel round trip per scalar
+    lam, cost, n_iter, cost0 = np.asarray(scalars)
+    errs = np.asarray(errs)
     info = {
         "cost0": float(cost0),
         "cost": float(cost),
-        "err0": err0,
-        "err_fin": err_fin,
+        "err0": errs[0],
+        "err_fin": errs[1],
         "iterations": int(n_iter),
         "lambda": float(lam),
     }

@@ -108,14 +108,15 @@ def match_kp_within_utm_polygon(features_i, features_j, utm_i, utm_j, utm_polygo
         )
         n = [n_ratio, n_ransac]
     elif method_cfg == "lightglue":
-        # the reference's optional torch/CUDA LightGlue path
-        # (ft_match.py:492-558) requires the LightGlue package, which is not
-        # part of this environment
-        raise NotImplementedError(
-            "FT_sift_matching='lightglue' requires the LightGlue package "
-            "(github.com/cvg/LightGlue), which is not installed; use "
-            "'epipolar_based' or 'bruteforce'"
+        # optional torch LightGlue backend (tracks/lightglue.py; reference:
+        # ft_match.py:492-558) — raises a clean ImportError with install
+        # instructions when the lightglue package is absent
+        from sat_bundleadjust_tpu.tracks.lightglue import lightglue_matching
+
+        matches_poly, n_matches, n_final = lightglue_matching(
+            fi, fj, ransac_thr=tracks_config["FT_ransac"]
         )
+        n = [n_matches, n_final]
     elif method_cfg == "local_window":
         # the reference's local-window matcher depends on an imscript
         # binary (siftu.so) that is not shipped with it either
