@@ -1,13 +1,15 @@
 """Miscellaneous BA utilities.
 
 Covers the reference's bundle_adjust/ba_utils.py: geotiff-tag conversion,
-reprojection comparison, relative motion between projection matrices,
-matrix/RPC rescaling, overlap AOI computation. (The GDAL-based in-place
-geotiff RPC update, ba_utils.py:42-48, has no GDAL equivalent here; adjusted
-RPCs are delivered as .rpc_adj sidecar files, which is also what the
-reference's own pipeline consumes downstream.)"""
+in-place geotiff RPC update (tag 50844 via utils/tiffwrite — the GDAL-free
+equivalent of ba_utils.py:42-48), reprojection comparison, relative motion
+between projection matrices, matrix/RPC rescaling, overlap AOI
+computation. Adjusted RPCs are additionally delivered as .rpc_adj sidecar
+files, which is what the reference's own pipeline consumes downstream."""
 
 import numpy as np
+
+from sat_bundleadjust_tpu.utils.tiffwrite import update_geotiff_rpc  # noqa: F401
 
 from sat_bundleadjust_tpu.models.cameras import (
     apply_projection_matrix,

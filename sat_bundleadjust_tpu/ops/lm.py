@@ -73,11 +73,14 @@ class LMConfig(NamedTuple):
     lambda_down: float = 3.0
     schur_mode: str = "dense"  # "dense" | "cg"
     # truncated inexact Newton: with the Schur-diagonal block-Jacobi
-    # preconditioner ~10-15 CG iterations per LM step is enough for a
-    # descent direction (measured at 50 cams: cap 10 costs +1 LM iteration
-    # and halves device wall vs cap 60; same practice as Ceres/PBA's
-    # ITERATIVE_SCHUR defaults). LM damping absorbs the step error.
-    cg_iters: int = 15
+    # preconditioner a modest CG budget per LM step suffices for a descent
+    # direction (LM damping absorbs the step error; same practice as
+    # Ceres/PBA's ITERATIVE_SCHUR). The useful budget grows with the
+    # camera count — measured: cap 15 is wall-optimal at 50 cameras (no
+    # extra LM iterations) but triples the LM iteration count at 120,
+    # where cap 60 wins. 0 = resolve to clip(n_cam // 2, 15, 60) at
+    # build_solve time.
+    cg_iters: int = 0
     # forcing term: CG also stops at ||r|| <= cg_rtol * ||b||
     cg_rtol: float = 1e-1
 
@@ -386,7 +389,8 @@ def lm_step(r, J_cam, J_pt, lam, prob: LMProblem, n_cam, n_pts, cfg: LMConfig,
             dcam = _dense_schur_solve(U_d, W, Vinv, b, prob, n_cam, cmask)
     else:
         dcam = _cg_schur_solve(
-            U_d, W, Vinv, b, prob, n_cam, cmask, cfg.cg_iters, psum_axis,
+            U_d, W, Vinv, b, prob, n_cam, cmask,
+            cfg.cg_iters or max(15, min(60, n_cam // 2)), psum_axis,
             cg_rtol=cfg.cg_rtol,
         )
 
@@ -419,6 +423,9 @@ def build_solve(residual_fn, jac_fn, n_cam, n_pts, prob: LMProblem, cfg: LMConfi
 
     def cost_of(r):
         return loss_cost(cfg.loss, r, cfg.f_scale)
+
+    if not cfg.cg_iters:
+        cfg = cfg._replace(cg_iters=max(15, min(60, n_cam // 2)))
 
     n_obs = int(prob.pts2d.shape[0])
 

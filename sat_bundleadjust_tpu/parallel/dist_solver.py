@@ -134,6 +134,8 @@ class DistributedLM:
                  n_params=None):
         self.mesh = mesh if mesh is not None else make_mesh()
         self.cfg = cfg._replace(schur_mode="cg")
+        if not self.cfg.cg_iters:  # same adaptive budget as ops/lm.build_solve
+            self.cfg = self.cfg._replace(cg_iters=max(15, min(60, n_cam // 2)))
         self.n_cam, self.n_pts = n_cam, n_pts
 
         shard = NamedSharding(self.mesh, P(OBS_AXIS))

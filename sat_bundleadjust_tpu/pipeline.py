@@ -62,9 +62,14 @@ class BundleAdjustmentPipeline:
         self.outlier_thr_rounding = extra_ba_config.get("outlier_thr_rounding", False)
         self.max_init_reproj_error = extra_ba_config.get("max_init_reproj_error", None)
         self.save_figures = extra_ba_config.get("save_figures", True)
+        # terrain altitude source: a DEM geotiff path (or srtm4 when that
+        # package is installed — the reference's source, ba_pipeline.py:166)
+        self.dem_path = extra_ba_config.get("dem_path", None)
 
         # footprints + aoi (reference: ba_pipeline.py:97-103)
-        self.set_footprints()
+        from sat_bundleadjust_tpu.utils.dem import make_alt_getter
+
+        self.set_footprints(alt_getter=make_alt_getter(self.dem_path))
         if self.aoi is None:
             self.predefined_aoi = False
             self.aoi = loader.load_aoi_from_multiple_images(self.images)

@@ -55,7 +55,10 @@ def idw_interpolation(pts2d, z, pts2d_query, N=8):
 def save_heatmap_of_reprojection_error(img_path, p, err, input_ims_footprints_lonlat,
                                        aoi_lonlat_roi=None, smooth=20, global_transform=None):
     """IDW-interpolated reprojection error over the AOI
-    (reference: ba_core.py:404-522, simplified: no georeferenced tif)."""
+    (reference: ba_core.py:404-522). A .tif path writes the interpolated
+    error surface as a georeferenced GeoTIFF (reference ba_core.py:516-519
+    via loader.write_georeferenced_raster_utm_bbox); any other extension
+    saves the matplotlib figure."""
     from scipy.ndimage import gaussian_filter
 
     from sat_bundleadjust_tpu.ba.solver import compute_mean_reprojection_error_per_track
@@ -89,6 +92,16 @@ def save_heatmap_of_reprojection_error(img_path, p, err, input_ims_footprints_lo
     query = np.vstack([all_cols.ravel(), all_rows.ravel()]).T
     interp = idw_interpolation(pts2d, track_err, query).reshape(height, width)
     interp = gaussian_filter(interp, sigma=smooth)
+
+    if os.path.splitext(img_path)[1] == ".tif":
+        from sat_bundleadjust_tpu.utils.tiffwrite import (
+            write_georeferenced_raster_utm_bbox,
+        )
+
+        utm_zs = geo_utils.zonestring_from_lonlat(*union["center"])
+        epsg = geo_utils.epsg_code_from_utm_zone(utm_zs)
+        write_georeferenced_raster_utm_bbox(img_path, interp, utm_bbx, epsg, resolution)
+        return
 
     fig, ax = plt.subplots(figsize=(10, 10))
     ax.invert_yaxis()
