@@ -10,15 +10,17 @@ anatomy and parameters (Parameters.cpp:36-43, ft_s2p.py:42-44):
   n_bins 36, 4x4x8 descriptors quantized to 0..255.
 
 Kernelization strategy (vs the per-pixel C++ loops):
-  * Gaussian pyramid: separable depthwise convolutions (XLA fuses these
-    into HBM-bandwidth-bound scans)
-  * DoG extrema: 3x3x3 neighborhood max/min via shifted-window reductions
+  * Gaussian pyramid: separable slice-and-accumulate blurs (fused VPU
+    passes at HBM bandwidth; convs would pad the size-1 channel dim to
+    the 128-lane tile)
+  * DoG extrema: 3x3x3 neighborhood max/min via one reduce_window pass
   * subpixel refinement: one batched 3x3 Newton step on the DoG quadric
     (the C++ re-interpolates up to 5 times when the offset leaves the
     pixel, LibSift KeyPoint.cpp; a single masked step changes keypoint
     positions by <0.05 px on valid detections)
-  * orientation + descriptor: fixed-capacity gather patches, vmapped over
-    keypoint slots — no data-dependent shapes anywhere.
+  * orientation + descriptor: one contiguous (2R+3)^2 patch slice per
+    keypoint slot, histograms accumulated over integer patch pixels
+    (the C++'s own loop structure) — no data-dependent shapes anywhere.
 
 Output layout matches the reference pipeline: (N, 132) float rows
 (col, row, scale, orientation, 128-dim descriptor)."""
@@ -44,26 +46,31 @@ MAX_KP_PER_OCTAVE = 4096
 
 
 def _gaussian_kernel(sigma):
+    """Host-side (numpy) normalized Gaussian taps — the weights become
+    compile-time constants of the slice-and-accumulate blur."""
     radius = max(1, int(np.ceil(4.0 * sigma)))
     x = np.arange(-radius, radius + 1)
     k = np.exp(-(x ** 2) / (2.0 * sigma ** 2))
-    return jnp.asarray(k / k.sum(), dtype=jnp.float32)
+    return (k / k.sum()).astype(np.float32)
 
 
 def _blur(im, sigma):
-    """Separable Gaussian blur with edge padding (host-fixed kernel size)."""
+    """Separable Gaussian blur with edge padding (host-fixed kernel size).
+
+    Implemented as slice-and-accumulate (sum of weighted shifted views)
+    rather than conv_general_dilated: TPU convolution lowering pads the
+    size-1 channel dim to the 128-lane tile — an 8 GB transient per
+    4000x4000 level (the round-1 OOM at realistic frame sizes). The
+    shifted adds fuse into one VPU pass at actual memory bandwidth."""
     if sigma <= 0:
         return im
-    k = _gaussian_kernel(sigma)
-    r = (k.shape[0] - 1) // 2
+    k = np.asarray(_gaussian_kernel(sigma))
+    r = (len(k) - 1) // 2
+    h, w = im.shape
     im_p = jnp.pad(im, ((r, r), (0, 0)), mode="edge")
-    im = jax.lax.conv_general_dilated(
-        im_p[None, None], k[None, None, :, None], (1, 1), "VALID"
-    )[0, 0]
+    im = sum(float(k[t]) * jax.lax.slice(im_p, (t, 0), (t + h, w)) for t in range(len(k)))
     im_p = jnp.pad(im, ((0, 0), (r, r)), mode="edge")
-    return jax.lax.conv_general_dilated(
-        im_p[None, None], k[None, None, None, :], (1, 1), "VALID"
-    )[0, 0]
+    return sum(float(k[t]) * jax.lax.slice(im_p, (0, t), (h, t + w)) for t in range(len(k)))
 
 
 def _upsample2(im):
@@ -93,23 +100,18 @@ def _extrema_and_refine(dog, thresh_dog, max_kp):
     S, H, W = dog.shape
     inner = dog[1:-1]  # candidate levels
 
-    # 3x3x3 neighborhood extrema via max-pooling on shifted slices
-    def neigh_extreme(op, init):
-        out = jnp.full_like(inner, init)
-        for ds in (-1, 0, 1):
-            sl = dog[1 + ds : S - 1 + ds]
-            for dy in (-1, 0, 1):
-                for dx in (-1, 0, 1):
-                    if ds == 0 and dy == 0 and dx == 0:
-                        continue
-                    shifted = jnp.roll(sl, (-dy, -dx), axis=(1, 2))
-                    out = op(out, shifted)
-        return out
-
-    nb_max = neigh_extreme(jnp.maximum, -jnp.inf)
-    nb_min = neigh_extreme(jnp.minimum, jnp.inf)
-    is_max = (inner > nb_max) & (inner > 0.8 * thresh_dog)
-    is_min = (inner < nb_min) & (inner < -0.8 * thresh_dog)
+    # 3x3x3 neighborhood extrema via one fused windowed reduction each.
+    # (The previous shifted-slice formulation materialized 26 rolled copies
+    # of the DoG stack — 47 GB of transients on a 4000x4000 first octave;
+    # reduce_window is a single streaming pass.) The window INCLUDES the
+    # center, so extremality is `inner == pooled`; exact float ties with a
+    # neighbor (measure-zero on real DoG data) at worst emit a duplicate
+    # candidate, which top-k/refinement handles.
+    pads = [(0, 0), (1, 1), (1, 1)]
+    nb_max = jax.lax.reduce_window(dog, -jnp.inf, jax.lax.max, (3, 3, 3), (1, 1, 1), pads)
+    nb_min = jax.lax.reduce_window(dog, jnp.inf, jax.lax.min, (3, 3, 3), (1, 1, 1), pads)
+    is_max = (inner >= nb_max) & (inner > 0.8 * thresh_dog)
+    is_min = (inner <= nb_min) & (inner < -0.8 * thresh_dog)
     is_ext = is_max | is_min
     # exclude the 1-px border (roll wraps around)
     border = jnp.zeros((H, W), dtype=bool).at[1:-1, 1:-1].set(True)
@@ -182,84 +184,66 @@ def _extrema_and_refine(dog, thresh_dog, max_kp):
     }
 
 
-def _bilinear(im, x, y):
-    """Bilinear sample of a 2-D image at float coords, clamped."""
-    h, w = im.shape
-    x = jnp.clip(x, 0.0, w - 1.001)
-    y = jnp.clip(y, 0.0, h - 1.001)
-    x0 = jnp.floor(x).astype(jnp.int32)
-    y0 = jnp.floor(y).astype(jnp.int32)
-    fx = x - x0
-    fy = y - y0
-    v00 = im[y0, x0]
-    v01 = im[y0, x0 + 1]
-    v10 = im[y0 + 1, x0]
-    v11 = im[y0 + 1, x0 + 1]
-    return (1 - fy) * ((1 - fx) * v00 + fx * v01) + fy * ((1 - fx) * v10 + fx * v11)
+# integer patch radius (octave px) for orientation/descriptor accumulation.
+# Covers the descriptor window radius lambda_descr*(1+1/n)*sqrt(2)*sigma
+# (= 10.6 sigma) and the orientation window 3*lambda_ori*sigma (= 4.5 sigma)
+# for every octave-level sigma (refined sigma_oct <= ~1.9; the faint
+# window tail beyond the patch at the very largest sigmas carries
+# near-zero Gaussian weight).
+_PATCH_R = 20
 
 
-def _bilinear_level(imf, x, y, level, H):
-    """Bilinear sample from level `level` of a level-flattened (S*H, W)
-    image stack. Folding the level into the row index keeps this a pure
-    gather — `stack[level]` per keypoint is a dynamic-slice that XLA can
-    fail to fuse under vmap (it materialized (B*K, 1, H, W) broadcasts on
-    the batched path)."""
-    w = imf.shape[1]
-    x = jnp.clip(x, 0.0, w - 1.001)
-    y = jnp.clip(y, 0.0, H - 1.001)
-    x0 = jnp.floor(x).astype(jnp.int32)
-    y0 = jnp.floor(y).astype(jnp.int32)
-    fx = x - x0
-    fy = y - y0
-    yb = y0 + level * H
-    v00 = imf[yb, x0]
-    v01 = imf[yb, x0 + 1]
-    v10 = imf[yb + 1, x0]
-    v11 = imf[yb + 1, x0 + 1]
-    return (1 - fy) * ((1 - fx) * v00 + fx * v01) + fy * ((1 - fx) * v10 + fx * v11)
-
-
-def _orientation_and_descriptor(grad_x, grad_y, kp_x, kp_y, kp_sigma_oct, kp_level, valid):
+def _orientation_and_descriptor(ss, kp_x, kp_y, kp_sigma_oct, kp_level, valid):
     """Per-keypoint principal orientation + 128-dim descriptor.
 
-    grad_*: (S, H, W) gradients of the octave's scale-space images.
-    kp_level: int (S index) of the nearest scale-space image.
-    All vmapped over keypoints; patch sampling is gather-based."""
-    S_lv, H_im, W_im = grad_x.shape
-    gxf = grad_x.reshape(S_lv * H_im, W_im)
-    gyf = grad_y.reshape(S_lv * H_im, W_im)
+    ss: (S, H, W) scale-space images of the octave; kp_level: int (S
+    index) of the nearest level.
 
-    # ---- orientation: 36-bin histogram over a 3*lambda_ori*sigma window,
-    # sampled on a sigma-proportional 21x21 grid (the window is exactly
-    # covered at every scale with ~4x fewer gathers than a fixed-radius
-    # integer patch; sub-pixel positions are bilinearly interpolated)
-    N_ORI_GRID = 21
-    u1 = (np.arange(N_ORI_GRID) - (N_ORI_GRID - 1) / 2.0) / ((N_ORI_GRID - 1) / 2.0)
-    gus, gvs = np.meshgrid(u1, u1)
-    gus = jnp.asarray(gus.reshape(-1), dtype=jnp.float32)  # in [-1, 1]
-    gvs = jnp.asarray(gvs.reshape(-1), dtype=jnp.float32)
+    IPOL-style integer-pixel accumulation over ONE contiguous per-keypoint
+    patch: a (2R+3)^2 window is extracted with a vmapped dynamic_slice
+    (lowered to a gather of contiguous rows), gradients are central diffs
+    inside the patch, and both histograms are weighted reductions over the
+    patch pixels. This replaces per-sample bilinear gathers (~7.6k random
+    single-element loads per keypoint — measured 1.7 s/frame at 2000x2000;
+    the patch path is two orders of magnitude less gather traffic and
+    matches the reference's per-pixel accumulation semantics more closely
+    (LibSift.cpp orientation/descriptor loops)."""
+    S_lv, H_im, W_im = ss.shape
+    flat = ss.reshape(S_lv * H_im, W_im)
+    # patch side incl. 1-px halo for central diffs, shrunk on the top
+    # octaves whose whole image is smaller than the nominal patch
+    P = min(2 * _PATCH_R + 3, H_im, W_im)
+
+    def patch_grads(kx, ky, level):
+        """(P-2, P-2) gradient patches + float offsets of each pixel."""
+        xc = jnp.round(kx).astype(jnp.int32)
+        yc = jnp.round(ky).astype(jnp.int32)
+        x0 = jnp.clip(xc - _PATCH_R - 1, 0, W_im - P)
+        y0 = jnp.clip(yc - _PATCH_R - 1, 0, H_im - P)
+        patch = jax.lax.dynamic_slice(flat, (level * H_im + y0, x0), (P, P))
+        gx = 0.5 * (patch[1:-1, 2:] - patch[1:-1, :-2])
+        gy = 0.5 * (patch[2:, 1:-1] - patch[:-2, 1:-1])
+        # true offsets of the gradient pixels relative to the keypoint
+        # (includes subpixel position and any border clamp shift)
+        dx = (x0 + 1 + jnp.arange(P - 2, dtype=jnp.float32)) - kx
+        dy = (y0 + 1 + jnp.arange(P - 2, dtype=jnp.float32)) - ky
+        return gx, gy, dx, dy
 
     def orientation(kx, ky, sigma, level):
-        win_radius = 3.0 * LAMBDA_ORI * sigma
-        dxs = win_radius * gus
-        dys = win_radius * gvs
-        px = kx + dxs
-        py = ky + dys
-        gx = _bilinear_level(gxf, px, py, level, H_im)
-        gy = _bilinear_level(gyf, px, py, level, H_im)
+        gx, gy, dx, dy = patch_grads(kx, ky, level)
         mag = jnp.hypot(gx, gy)
         ang = jnp.arctan2(gy, gx)  # [-pi, pi]
-        d2 = dxs ** 2 + dys ** 2
+        d2 = dx[None, :] ** 2 + dy[:, None] ** 2
         win_sigma = LAMBDA_ORI * sigma
         w = jnp.exp(-d2 / (2 * win_sigma ** 2)) * (d2 <= (3 * win_sigma) ** 2)
-        fbin = (ang + jnp.pi) / (2 * jnp.pi) * N_BINS
-        # one-hot contraction instead of a scatter (XLA scatters serialize
-        # on CPU and are slow on TPU); a (S, 36) matmul vectorizes cleanly
-        # under the keypoint/image vmaps
-        wm = w * mag
+        wm = (w * mag).reshape(-1)
+        fbin = (ang.reshape(-1) + jnp.pi) / (2 * jnp.pi) * N_BINS
         bins = jnp.mod(jnp.floor(fbin), N_BINS)
-        onehot = (bins[:, None] == jnp.arange(N_BINS, dtype=bins.dtype)[None, :])
-        hist = wm @ onehot.astype(wm.dtype)
+        # nearest-bin histogram as 36 masked reductions (IPOL binning; a
+        # one-hot matmul would materialize a (K, P^2, 36) operand)
+        hist = jnp.stack(
+            [jnp.sum(wm * (bins == b)) for b in range(N_BINS)]
+        )
         # circular smoothing (6 box passes, IPOL style)
         for _ in range(6):
             hist = (jnp.roll(hist, 1) + hist + jnp.roll(hist, -1)) / 3.0
@@ -287,27 +271,20 @@ def _orientation_and_descriptor(grad_x, grad_y, kp_x, kp_y, kp_sigma_oct, kp_lev
         valid2 = cand[b2] >= 0.8 * hist[b1]
         return theta1, theta2, valid2
 
-    # ---- descriptor: 4x4 spatial x 8 orientation histograms
-    # sample an SxS grid in the rotated, scale-normalized frame
-    SAMP = 16  # 4 samples per spatial bin
-    us, vs = np.meshgrid(
-        (np.arange(SAMP) + 0.5) / SAMP * 2 - 1.0, (np.arange(SAMP) + 0.5) / SAMP * 2 - 1.0
-    )
-    us = jnp.asarray(us.reshape(-1), dtype=jnp.float32)  # in [-1, 1]
-    vs = jnp.asarray(vs.reshape(-1), dtype=jnp.float32)
-
+    # ---- descriptor: 4x4 spatial x 8 orientation histograms, accumulated
+    # over the same per-keypoint patch (rotated into the descriptor frame)
     def descriptor(kx, ky, sigma, level, theta):
+        gx, gy, dx, dy = patch_grads(kx, ky, level)
         radius = LAMBDA_DESCR * sigma * (N_HIST + 1.0) / N_HIST
         ct, st = jnp.cos(theta), jnp.sin(theta)
-        # rotated sampling positions
-        sx = radius * us
-        sy = radius * vs
-        px = kx + ct * sx - st * sy
-        py = ky + st * sx + ct * sy
-        gx = _bilinear_level(gxf, px, py, level, H_im)
-        gy = _bilinear_level(gyf, px, py, level, H_im)
-        mag = jnp.hypot(gx, gy)
-        ang = jnp.arctan2(gy, gx) - theta
+        ox = dx[None, :] + jnp.zeros_like(dy)[:, None]
+        oy = dy[:, None] + jnp.zeros_like(dx)[None, :]
+        # normalized rotated coordinates (u, v) in [-1, 1] over the window
+        us = (ct * ox + st * oy) / radius
+        vs = (-st * ox + ct * oy) / radius
+        us, vs = us.reshape(-1), vs.reshape(-1)
+        mag = jnp.hypot(gx, gy).reshape(-1)
+        ang = jnp.arctan2(gy, gx).reshape(-1) - theta
         # gaussian weight exp(-d^2 / (2 (lambda_descr sigma)^2)) with
         # d^2 = radius^2 (u^2 + v^2) and radius = lambda sigma (n+1)/n
         ratio2 = ((N_HIST + 1.0) / N_HIST) ** 2
@@ -358,18 +335,10 @@ def _process_octave_impl(current, sig_inc, thresh_dog, n_scales, max_kp_per_octa
 
     kp = _extrema_and_refine(dog, thresh_dog, max_kp_per_octave)
 
-    # edge-clamped central differences: roll would wrap, so descriptor
-    # patches near the image border would sample gradients from the
-    # opposite edge (at the border this degrades to a one-sided half
-    # gradient, the standard choice)
-    ssp = jnp.pad(ss, ((0, 0), (1, 1), (1, 1)), mode="edge")
-    gx = 0.5 * (ssp[:, 1:-1, 2:] - ssp[:, 1:-1, :-2])
-    gy = 0.5 * (ssp[:, 2:, 1:-1] - ssp[:, :-2, 1:-1])
-
     sigma_oct = SIGMA_MIN / DELTA_MIN * 2 ** (kp["s"] / n_scales)
     level = jnp.clip(jnp.round(kp["s"]).astype(jnp.int32), 0, n_scales + 2)
     thetas, descs, thetas2, descs2, valid2 = _orientation_and_descriptor(
-        gx, gy, kp["x"], kp["y"], sigma_oct, level, kp["valid"]
+        ss, kp["x"], kp["y"], sigma_oct, level, kp["valid"]
     )
     next_seed = _downsample2(ss[n_scales])
     return kp, (thetas, descs, thetas2, descs2, valid2), next_seed
@@ -394,18 +363,42 @@ _MAX_BLUR_RADIUS = 13  # 4-sigma support for the largest incremental blur (~3.1 
 def _blur_dynamic(im, sigma, radius):
     """Separable Gaussian blur with a fixed (static) kernel radius and a
     traced sigma — lets one compiled octave program handle all its
-    incremental blurs."""
+    incremental blurs. Slice-and-accumulate for the same TPU channel-
+    padding reason as _blur (traced tap weights are fine: each weighted
+    slice is an elementwise multiply-add)."""
     x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
     k = jnp.exp(-(x ** 2) / (2.0 * sigma ** 2))
     k = k / jnp.sum(k)
+    h, w = im.shape
     im_p = jnp.pad(im, ((radius, radius), (0, 0)), mode="edge")
-    im = jax.lax.conv_general_dilated(
-        im_p[None, None], k[None, None, :, None], (1, 1), "VALID"
-    )[0, 0]
+    im = sum(k[t] * jax.lax.slice(im_p, (t, 0), (t + h, w)) for t in range(2 * radius + 1))
     im_p = jnp.pad(im, ((0, 0), (radius, radius)), mode="edge")
-    return jax.lax.conv_general_dilated(
-        im_p[None, None], k[None, None, None, :], (1, 1), "VALID"
-    )[0, 0]
+    return sum(k[t] * jax.lax.slice(im_p, (0, t), (h, t + w)) for t in range(2 * radius + 1))
+
+
+@jax.jit
+def _pack_octave_results(results):
+    """Device-side packing of the per-octave result dicts into one
+    (B, total_slots, 132) feature array + (B, total_slots) valid mask, so
+    the host fetch is two transfers instead of one round trip per leaf."""
+    feats = jnp.concatenate(
+        [
+            jnp.concatenate(
+                [
+                    r["col"][..., None],
+                    r["row"][..., None],
+                    r["scale"][..., None],
+                    r["theta"][..., None],
+                    r["desc"],
+                ],
+                axis=-1,
+            )
+            for r in results
+        ],
+        axis=1,
+    )
+    valid = jnp.concatenate([r["valid"] for r in results], axis=1)
+    return feats, valid
 
 
 def detect_sift(image, thresh_dog=0.0133, n_octaves=8, n_scales=3, max_kp=None,
@@ -422,8 +415,15 @@ def detect_sift(image, thresh_dog=0.0133, n_octaves=8, n_scales=3, max_kp=None,
 
 # images per compiled program: bounds scale-space working memory. 6 full
 # 300x400 images in one program crashed the tunneled v5e worker; 4 is safe
-# with headroom (per-image first-octave footprint ~60 MB + XLA transients)
+# with headroom (per-image first-octave footprint ~60 MB + XLA transients).
+# The chunk shrinks with image area so large frames keep the same program
+# footprint (a 2000x2000 frame runs alone).
 BATCH_CHUNK = 4
+_CHUNK_PX = 4 * 300 * 400
+
+
+def _auto_chunk(h, w):
+    return max(1, min(BATCH_CHUNK, _CHUNK_PX // max(h * w, 1)))
 
 
 def detect_sift_batch(images, thresh_dog=0.0133, n_octaves=8, n_scales=3,
@@ -442,7 +442,11 @@ def detect_sift_batch(images, thresh_dog=0.0133, n_octaves=8, n_scales=3,
     ft_s2p.py:97-124).
 
     Returns a list of (N_i, 132) numpy arrays."""
-    chunk = BATCH_CHUNK if batch_chunk is None else batch_chunk
+    if batch_chunk is None:
+        h0, w0 = np.asarray(images[0]).shape[:2]
+        chunk = _auto_chunk(int(h0), int(w0))
+    else:
+        chunk = batch_chunk
     if len(images) > chunk:
         out = []
         for s in range(0, len(images), chunk):
@@ -520,30 +524,20 @@ def detect_sift_batch(images, thresh_dog=0.0133, n_octaves=8, n_scales=3,
         )
         delta *= 2.0
 
-    # assemble (single host synchronization for the whole batch)
-    results = jax.device_get(results)
+    # assemble on DEVICE into two arrays before the host fetch: a fetch of
+    # the raw per-octave pytree is ~100 small leaves, and each leaf costs a
+    # full tunnel round trip (~28 ms) — measured 2.6 s of a 2.7 s
+    # detection at 2000x2000. One packed (B, total_slots, 132) array + the
+    # valid mask fetch in two transfers.
+    packed = _pack_octave_results(results)
+    feats_all, valid_all = jax.device_get(packed)
     out = []
     for b in range(B):
-        rows = []
-        for r in results:
-            v = r["valid"][b]
-            if not np.any(v):
-                continue
-            feats = np.concatenate(
-                [
-                    r["col"][b][v, None],
-                    r["row"][b][v, None],
-                    r["scale"][b][v, None],
-                    r["theta"][b][v, None],
-                    r["desc"][b][v],
-                ],
-                axis=1,
-            )
-            rows.append(feats)
-        if not rows:
+        v = valid_all[b]
+        feats = feats_all[b][v]
+        if feats.shape[0] == 0:
             out.append(np.zeros((0, 132)))
             continue
-        feats = np.concatenate(rows, axis=0)
         if max_kp is not None and feats.shape[0] > max_kp:
             feats = feats[np.argsort(-feats[:, 2], kind="stable")[:max_kp]]
         out.append(feats)
