@@ -283,7 +283,12 @@ class DistributedLM:
             r_fin = local_residuals(obs, cam_tail, rpcs, cam, pts)
             err0 = jnp.where(valid, jnp.linalg.norm(r0 / safe_w[:, None], axis=1), 0.0)
             err_fin = jnp.where(valid, jnp.linalg.norm(r_fin / safe_w[:, None], axis=1), 0.0)
-            return cam, pts, lam, cost, n_iter, cost0, err0[None].astype(jnp.float32), err_fin[None].astype(jnp.float32)
+            # pack scalars / same-shape error arrays (every separately
+            # fetched device value costs a tunnel round trip; see
+            # ops/lm.build_solve)
+            scalars = jnp.stack([lam, cost, n_iter.astype(cam.dtype), cost0])
+            errs = jnp.stack([err0, err_fin]).astype(jnp.float32)[None]
+            return cam, pts, scalars, errs
 
         def cost_body(obs, cam_tail, rpcs, cam, pts):
             r = local_residuals(obs, cam_tail, rpcs, cam, pts)
@@ -295,7 +300,7 @@ class DistributedLM:
         self._solve = jax.jit(
             jax.shard_map(
                 solve_body, mesh=self.mesh, in_specs=in_specs_solve,
-                out_specs=(P(), P(), P(), P(), P(), P(), P(OBS_AXIS), P(OBS_AXIS)),
+                out_specs=(P(), P(), P(), P(OBS_AXIS)),
                 check_vma=False,
             )
         )
@@ -311,20 +316,22 @@ class DistributedLM:
         c = self._cost(self.obs, self.cam_tail, self.rpcs, cam, pts)
         return float(np.asarray(c).reshape(-1)[0])
 
-    def _gather_errs(self, err_sharded):
-        """Scatter sharded per-slot errors back to original obs order."""
-        if not err_sharded.is_fully_addressable:
+    def _gather_errs(self, errs_sharded):
+        """Scatter the sharded (shards, 2, K_local) before/after error
+        stack back to original obs order -> (2, n_obs)."""
+        if not errs_sharded.is_fully_addressable:
             # multi-process: all-gather the sharded output so every host
-            # reports the full error vector (it is small — (K,) f32)
+            # reports the full error vector (it is small — (2, K) f32)
             from jax.experimental import multihost_utils
 
-            err = np.asarray(multihost_utils.process_allgather(err_sharded, tiled=True))
+            err = np.asarray(multihost_utils.process_allgather(errs_sharded, tiled=True))
         else:
-            err = np.asarray(jax.device_get(err_sharded))
-        err = err.reshape(self.obs_index.shape)
-        out = np.zeros(self.n_obs, np.float32)
+            err = np.asarray(jax.device_get(errs_sharded))
+        err = err.reshape(self.obs_index.shape[0], 2, -1)
+        out = np.zeros((2, self.n_obs), np.float32)
         mask = self.obs_index >= 0
-        out[self.obs_index[mask]] = err[mask]
+        for i in range(2):
+            out[i, self.obs_index[mask]] = err[:, i, :][mask]
         return out
 
     def solve(self, cam0, pts0):
@@ -333,17 +340,19 @@ class DistributedLM:
         reprojection errors before/after in original observation order."""
         cam = global_put(cam0, self.repl)
         pts = global_put(pts0, self.repl)
-        cam, pts, lam, cost, n_iter, cost0, err0, err_fin = self._solve(
+        cam, pts, scalars, errs = self._solve(
             self.obs, self.cam_tail, self.rpcs, self.cam_opt_mask,
             self.pts_opt_mask, cam, pts, jnp.asarray(self.cfg.max_iter),
         )
+        lam, cost, n_iter, cost0 = np.asarray(scalars)
+        errs = self._gather_errs(errs)  # (2, n_obs)
         info = {
-            "cost0": float(np.asarray(cost0)),
-            "cost": float(np.asarray(cost)),
-            "iterations": int(np.asarray(n_iter)),
-            "lambda": float(np.asarray(lam)),
-            "err0": self._gather_errs(err0),
-            "err_fin": self._gather_errs(err_fin),
+            "cost0": float(cost0),
+            "cost": float(cost),
+            "iterations": int(n_iter),
+            "lambda": float(lam),
+            "err0": errs[0],
+            "err_fin": errs[1],
         }
         return cam, pts, info
 

@@ -291,22 +291,29 @@ def measure_squared_km_from_lonlat_geojson(lonlat_geojson):
     return geojson_to_polygon(utm_geojson).area * 1e-6
 
 
-def geoid_to_ellipsoid(lat, lon, z):
+def geoid_to_ellipsoid(lat, lon, z, geoid_pgm=None):
     """EGM96 geoid height -> WGS84 ellipsoid height.
 
     Reference: bundle_adjust/s2p/geographiclib.py:16-37, which routes the
-    conversion through pyproj (EPSG:4326+5773 -> EPSG:4979). The reference
-    defines this but never calls it from the pipeline; it is provided here
-    for API parity. The conversion needs the EGM96 geoid grid, which ships
-    with PROJ: if pyproj is unavailable (as in minimal deployments), this
-    raises NotImplementedError rather than silently returning wrong
-    heights."""
+    conversion through pyproj (EPSG:4326+5773 -> EPSG:4979); the reference
+    defines this but never calls it from the pipeline. Here the undulation
+    comes from a GeographicLib EGM96 .pgm grid (utils/geoid.py; pass
+    geoid_pgm or set SATBA_GEOID_PGM), with pyproj+PROJ as fallback when
+    the grid is absent but pyproj is installed. Raises if neither source
+    is available, rather than silently returning wrong heights."""
+    import os as _os
+
+    from sat_bundleadjust_tpu.utils.geoid import geoid_undulation
+
+    if geoid_pgm or _os.environ.get("SATBA_GEOID_PGM"):
+        return np.asarray(z) + geoid_undulation(lat, lon, grid_path=geoid_pgm)
     try:
         import pyproj
     except ImportError as e:
         raise NotImplementedError(
-            "geoid_to_ellipsoid requires pyproj with the EGM96 geoid grid "
-            "(PROJ data); install pyproj or convert heights externally"
+            "geoid_to_ellipsoid needs an EGM96 source: set SATBA_GEOID_PGM "
+            "to a GeographicLib egm96 .pgm grid, or install pyproj with "
+            "PROJ data"
         ) from e
     ellipsoid = pyproj.CRS.from_epsg(4979)
     geoid = pyproj.CRS("EPSG:4326+5773")
