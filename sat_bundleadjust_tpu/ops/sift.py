@@ -119,7 +119,15 @@ def _extrema_and_refine(dog, thresh_dog, max_kp):
 
     resp = jnp.where(is_ext, jnp.abs(inner), 0.0)
     flat = resp.reshape(-1)
-    vals, idx = jax.lax.top_k(flat, min(max_kp, flat.shape[0]))
+    k = min(max_kp, flat.shape[0])
+    if jax.default_backend() == "tpu" and flat.shape[0] > (1 << 20):
+        # exact top_k sorts the whole octave (48M elements on a 4000x4000
+        # first octave); the TPU-optimized partial-reduction variant keeps
+        # >= 95% of the strongest responses at a fraction of the cost, and
+        # extrema are sparse enough that the slot cap rarely binds anyway
+        vals, idx = jax.lax.approx_max_k(flat, k, recall_target=0.95)
+    else:
+        vals, idx = jax.lax.top_k(flat, k)
     valid = vals > 0.0
     s_idx = idx // (H * W)  # 0..n_spo-1, maps to dog level s_idx+1
     rem = idx % (H * W)
@@ -344,19 +352,6 @@ def _process_octave_impl(current, sig_inc, thresh_dog, n_scales, max_kp_per_octa
     return kp, (thetas, descs, thetas2, descs2, valid2), next_seed
 
 
-_process_octave = partial(jax.jit, static_argnames=("n_scales", "max_kp_per_octave"))(
-    _process_octave_impl
-)
-
-
-@partial(jax.jit, static_argnames=("n_scales", "max_kp_per_octave"))
-def _process_octave_batch(current, sig_inc, thresh_dog, n_scales, max_kp_per_octave):
-    """One octave over a (B, H, W) stack of same-shape images."""
-    return jax.vmap(
-        lambda c: _process_octave_impl(c, sig_inc, thresh_dog, n_scales, max_kp_per_octave)
-    )(current)
-
-
 _MAX_BLUR_RADIUS = 13  # 4-sigma support for the largest incremental blur (~3.1 octave px)
 
 
@@ -376,29 +371,53 @@ def _blur_dynamic(im, sigma, radius):
     return sum(k[t] * jax.lax.slice(im_p, (0, t), (h, t + w)) for t in range(2 * radius + 1))
 
 
-@jax.jit
-def _pack_octave_results(results):
-    """Device-side packing of the per-octave result dicts into one
-    (B, total_slots, 132) feature array + (B, total_slots) valid mask, so
-    the host fetch is two transfers instead of one round trip per leaf."""
-    feats = jnp.concatenate(
-        [
-            jnp.concatenate(
-                [
-                    r["col"][..., None],
-                    r["row"][..., None],
-                    r["scale"][..., None],
-                    r["theta"][..., None],
-                    r["desc"],
-                ],
-                axis=-1,
-            )
-            for r in results
-        ],
-        axis=1,
+@partial(jax.jit, static_argnames=("n_octaves", "n_scales", "max_kp_per_octave"))
+def _detect_packed(im, thresh_dog, n_octaves, n_scales, max_kp_per_octave):
+    """The FULL SIFT pyramid of a (B, H, W) image stack as one compiled
+    program: seed upsample, every octave (scale space -> extrema ->
+    orientation/descriptors), and packing into one (B, total_slots, 132)
+    feature array + (B, total_slots) valid mask."""
+    sigma_extra = float(np.sqrt(max(SIGMA_MIN ** 2 - SIGMA_IN ** 2, 0.0)) / DELTA_MIN)
+    # incremental blur sigmas in octave pixels — the octave's delta cancels,
+    # so ONE host constant serves every octave
+    sig_abs = np.array(
+        [SIGMA_MIN / DELTA_MIN * 2 ** (s / n_scales) for s in range(n_scales + 3)]
     )
-    valid = jnp.concatenate([r["valid"] for r in results], axis=1)
-    return feats, valid
+    sig_inc = jnp.asarray(
+        np.sqrt(np.maximum(sig_abs[1:] ** 2 - sig_abs[:-1] ** 2, 0.0)), jnp.float32
+    )
+
+    def single(x):
+        current = _blur(_upsample2(x), sigma_extra)
+        delta = DELTA_MIN
+        feats_parts, valid_parts = [], []
+        for _o in range(n_octaves):
+            H, W = current.shape
+            if H < 12 or W < 12:
+                break
+            # keypoint slot capacity scaled to the octave area: natural DoG
+            # extrema density is well below 1/300 px, so this keeps the
+            # strongest responses while bounding the descriptor work
+            slots = int(min(max_kp_per_octave, max(128, (H * W) // 300)))
+            kp, (th, de, th2, de2, v2), current = _process_octave_impl(
+                current, sig_inc, thresh_dog, n_scales, slots
+            )
+            abs_sigma = delta / DELTA_MIN * SIGMA_MIN * (2.0 ** (kp["s"] / n_scales))
+            col, row = kp["x"] * delta, kp["y"] * delta
+            # secondary-orientation keypoints: same location/scale, second
+            # histogram peak >= 0.8 max (IPOL emits these as extras)
+            for theta, desc, vv in ((th, de, kp["valid"]), (th2, de2, v2)):
+                feats_parts.append(
+                    jnp.concatenate(
+                        [col[:, None], row[:, None], abs_sigma[:, None],
+                         theta[:, None], desc], axis=1,
+                    )
+                )
+                valid_parts.append(vv)
+            delta *= 2.0
+        return jnp.concatenate(feats_parts, 0), jnp.concatenate(valid_parts, 0)
+
+    return jax.vmap(single)(im)
 
 
 def detect_sift(image, thresh_dog=0.0133, n_octaves=8, n_scales=3, max_kp=None,
@@ -464,73 +483,18 @@ def detect_sift_batch(images, thresh_dog=0.0133, n_octaves=8, n_scales=3,
         ims.append((image - lo) / max(hi - lo, 1e-12))
     im = np.stack(ims)  # (B, H, W)
     im = jnp.asarray(im) if device_put_fn is None else device_put_fn(im)
+
+    # the WHOLE pyramid runs as one compiled program per (B, H, W) and the
+    # packed result is fetched in two transfers: per-octave programs cost a
+    # ~30 ms tunnel handshake per dispatch (17 dispatches = ~0.5 s of pure
+    # protocol at 2000x2000), and a fetch of the raw per-octave pytree is
+    # ~100 leaves at one round trip each
+    feats_all, valid_all = jax.device_get(
+        _detect_packed(
+            im, jnp.float32(thresh_dog), n_octaves, n_scales, max_kp_per_octave
+        )
+    )
     B = im.shape[0]
-
-    # seed: upsample to delta_min and reach sigma_min
-    sigma_extra = np.sqrt(max(SIGMA_MIN ** 2 - SIGMA_IN ** 2, 0.0)) / DELTA_MIN
-    seed = jax.jit(jax.vmap(lambda x: _blur(_upsample2(x), sigma_extra)))(im)
-
-    results = []
-    delta = DELTA_MIN
-    current = seed
-    for o in range(n_octaves):
-        H, W = current.shape[1:]
-        if H < 12 or W < 12:
-            break
-        # absolute sigmas of this octave's n_scales+3 images
-        sig_abs = np.array(
-            [delta / DELTA_MIN * SIGMA_MIN * 2 ** (s / n_scales) for s in range(n_scales + 3)]
-        )
-        sig_inc = np.sqrt(np.maximum(sig_abs[1:] ** 2 - sig_abs[:-1] ** 2, 0.0)) / delta
-
-        # keypoint slot capacity scaled to the octave area: natural DoG
-        # extrema density is well below 1/300 px, so this keeps the strongest
-        # responses while bounding the orientation/descriptor gather work.
-        # Depends only on (H, W) -> compilation cache stays shared across
-        # images of the same size.
-        slots = int(min(max_kp_per_octave, max(128, (H * W) // 300)))
-
-        kp, (thetas, descs, thetas2, descs2, valid2), current = _process_octave_batch(
-            current, jnp.asarray(sig_inc, dtype=jnp.float32),
-            jnp.float32(thresh_dog), n_scales, slots,
-        )
-
-        # keep everything on device: forcing a host transfer here would
-        # synchronize after every octave (each sync is a full round trip on
-        # tunneled devices); with async dispatch all octave programs enqueue
-        # back-to-back and one device_get at the end drains the results
-        abs_sigma = delta / DELTA_MIN * SIGMA_MIN * (2.0 ** (kp["s"] / n_scales))
-        results.append(
-            {
-                "col": kp["x"] * delta,
-                "row": kp["y"] * delta,
-                "scale": abs_sigma,
-                "theta": thetas,
-                "desc": descs,
-                "valid": kp["valid"],
-            }
-        )
-        # secondary-orientation keypoints (same location/scale, second
-        # histogram peak >= 0.8 max — IPOL emits these as extra keypoints)
-        results.append(
-            {
-                "col": kp["x"] * delta,
-                "row": kp["y"] * delta,
-                "scale": abs_sigma,
-                "theta": thetas2,
-                "desc": descs2,
-                "valid": valid2,
-            }
-        )
-        delta *= 2.0
-
-    # assemble on DEVICE into two arrays before the host fetch: a fetch of
-    # the raw per-octave pytree is ~100 small leaves, and each leaf costs a
-    # full tunnel round trip (~28 ms) — measured 2.6 s of a 2.7 s
-    # detection at 2000x2000. One packed (B, total_slots, 132) array + the
-    # valid mask fetch in two transfers.
-    packed = _pack_octave_results(results)
-    feats_all, valid_all = jax.device_get(packed)
     out = []
     for b in range(B):
         v = valid_all[b]
