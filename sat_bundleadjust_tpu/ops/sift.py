@@ -135,6 +135,10 @@ def _extrema_and_refine(dog, thresh_dog, max_kp):
     xx = rem % W
 
     # quadratic refinement: gradient and Hessian of the DoG at (s, y, x)
+    # via 27 batched one-element-per-keypoint gathers. (A vmapped (3,3,3)
+    # dynamic_slice variant was tried and is ~2x SLOWER on the TPU: many
+    # tiny slices cost a fixed DMA setup each, while the flat-index
+    # gathers vectorize.)
     def at(ds, dy, dx):
         return dog[s_idx + 1 + ds, yy + dy, xx + dx]
 
@@ -208,10 +212,11 @@ def _orientation_and_descriptor(ss, kp_x, kp_y, kp_sigma_oct, kp_level, valid):
     index) of the nearest level.
 
     IPOL-style integer-pixel accumulation over ONE contiguous per-keypoint
-    patch: a (2R+3)^2 window is extracted with a vmapped dynamic_slice
-    (lowered to a gather of contiguous rows), gradients are central diffs
-    inside the patch, and both histograms are weighted reductions over the
-    patch pixels. This replaces per-sample bilinear gathers (~7.6k random
+    patch: a (2R+3)^2 window is extracted ONCE per keypoint (one XLA
+    gather of contiguous slices), gradients are central diffs inside the
+    patch, and both histograms are weighted reductions over the patch
+    pixels — shared between the orientation pass and BOTH descriptor
+    orientations. This replaces per-sample bilinear gathers (~7.6k random
     single-element loads per keypoint — measured 1.7 s/frame at 2000x2000;
     the patch path is two orders of magnitude less gather traffic and
     matches the reference's per-pixel accumulation semantics more closely
@@ -222,25 +227,30 @@ def _orientation_and_descriptor(ss, kp_x, kp_y, kp_sigma_oct, kp_level, valid):
     # octaves whose whole image is smaller than the nominal patch
     P = min(2 * _PATCH_R + 3, H_im, W_im)
 
-    def patch_grads(kx, ky, level):
-        """(P-2, P-2) gradient patches + float offsets of each pixel."""
-        xc = jnp.round(kx).astype(jnp.int32)
-        yc = jnp.round(ky).astype(jnp.int32)
-        x0 = jnp.clip(xc - _PATCH_R - 1, 0, W_im - P)
-        y0 = jnp.clip(yc - _PATCH_R - 1, 0, H_im - P)
-        patch = jax.lax.dynamic_slice(flat, (level * H_im + y0, x0), (P, P))
-        gx = 0.5 * (patch[1:-1, 2:] - patch[1:-1, :-2])
-        gy = 0.5 * (patch[2:, 1:-1] - patch[:-2, 1:-1])
-        # true offsets of the gradient pixels relative to the keypoint
-        # (includes subpixel position and any border clamp shift)
-        dx = (x0 + 1 + jnp.arange(P - 2, dtype=jnp.float32)) - kx
-        dy = (y0 + 1 + jnp.arange(P - 2, dtype=jnp.float32)) - ky
-        return gx, gy, dx, dy
+    xc = jnp.round(kp_x).astype(jnp.int32)
+    yc = jnp.round(kp_y).astype(jnp.int32)
+    x0 = jnp.clip(xc - _PATCH_R - 1, 0, W_im - P)
+    y0 = jnp.clip(yc - _PATCH_R - 1, 0, H_im - P)
+    rows = kp_level * H_im + y0
+    # vmapped dynamic_slice -> one XLA gather of contiguous (P, P) slices.
+    # Measured at ~3 us/keypoint on the TPU even with fully scattered
+    # addresses — a Pallas per-keypoint DMA variant was prototyped and
+    # brings no headroom (and Mosaic's (8,128) HBM slice alignment plus
+    # missing dynamic-rotate lowering make it substantially more complex).
+    patches = jax.vmap(
+        lambda r0, c0: jax.lax.dynamic_slice(flat, (r0, c0), (P, P))
+    )(rows, x0)  # (K, P, P)
+    gx_all = 0.5 * (patches[:, 1:-1, 2:] - patches[:, 1:-1, :-2])
+    gy_all = 0.5 * (patches[:, 2:, 1:-1] - patches[:, :-2, 1:-1])
+    mag_all = jnp.hypot(gx_all, gy_all)
+    ang_all = jnp.arctan2(gy_all, gx_all)  # [-pi, pi]
+    # true offsets of the gradient pixels relative to the keypoint
+    # (includes subpixel position and any border clamp shift)
+    grid = jnp.arange(P - 2, dtype=jnp.float32)
+    dx_all = (x0.astype(jnp.float32)[:, None] + 1.0 + grid[None]) - kp_x[:, None]
+    dy_all = (y0.astype(jnp.float32)[:, None] + 1.0 + grid[None]) - kp_y[:, None]
 
-    def orientation(kx, ky, sigma, level):
-        gx, gy, dx, dy = patch_grads(kx, ky, level)
-        mag = jnp.hypot(gx, gy)
-        ang = jnp.arctan2(gy, gx)  # [-pi, pi]
+    def orientation(mag, ang, dx, dy, sigma):
         d2 = dx[None, :] ** 2 + dy[:, None] ** 2
         win_sigma = LAMBDA_ORI * sigma
         w = jnp.exp(-d2 / (2 * win_sigma ** 2)) * (d2 <= (3 * win_sigma) ** 2)
@@ -281,8 +291,7 @@ def _orientation_and_descriptor(ss, kp_x, kp_y, kp_sigma_oct, kp_level, valid):
 
     # ---- descriptor: 4x4 spatial x 8 orientation histograms, accumulated
     # over the same per-keypoint patch (rotated into the descriptor frame)
-    def descriptor(kx, ky, sigma, level, theta):
-        gx, gy, dx, dy = patch_grads(kx, ky, level)
+    def descriptor(mag2d, ang2d, dx, dy, sigma, theta):
         radius = LAMBDA_DESCR * sigma * (N_HIST + 1.0) / N_HIST
         ct, st = jnp.cos(theta), jnp.sin(theta)
         ox = dx[None, :] + jnp.zeros_like(dy)[:, None]
@@ -291,8 +300,8 @@ def _orientation_and_descriptor(ss, kp_x, kp_y, kp_sigma_oct, kp_level, valid):
         us = (ct * ox + st * oy) / radius
         vs = (-st * ox + ct * oy) / radius
         us, vs = us.reshape(-1), vs.reshape(-1)
-        mag = jnp.hypot(gx, gy).reshape(-1)
-        ang = jnp.arctan2(gy, gx).reshape(-1) - theta
+        mag = mag2d.reshape(-1)
+        ang = ang2d.reshape(-1) - theta
         # gaussian weight exp(-d^2 / (2 (lambda_descr sigma)^2)) with
         # d^2 = radius^2 (u^2 + v^2) and radius = lambda sigma (n+1)/n
         ratio2 = ((N_HIST + 1.0) / N_HIST) ** 2
@@ -324,9 +333,11 @@ def _orientation_and_descriptor(ss, kp_x, kp_y, kp_sigma_oct, kp_level, valid):
         norm2 = jnp.linalg.norm(d) + 1e-12
         return jnp.minimum(jnp.floor(512.0 * d / norm2), 255.0)
 
-    thetas, thetas2, valid2 = jax.vmap(orientation)(kp_x, kp_y, kp_sigma_oct, kp_level)
-    descs = jax.vmap(descriptor)(kp_x, kp_y, kp_sigma_oct, kp_level, thetas)
-    descs2 = jax.vmap(descriptor)(kp_x, kp_y, kp_sigma_oct, kp_level, thetas2)
+    thetas, thetas2, valid2 = jax.vmap(orientation)(
+        mag_all, ang_all, dx_all, dy_all, kp_sigma_oct
+    )
+    descs = jax.vmap(descriptor)(mag_all, ang_all, dx_all, dy_all, kp_sigma_oct, thetas)
+    descs2 = jax.vmap(descriptor)(mag_all, ang_all, dx_all, dy_all, kp_sigma_oct, thetas2)
     return thetas, descs, thetas2, descs2, valid2 & valid
 
 
