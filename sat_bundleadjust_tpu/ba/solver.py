@@ -161,6 +161,22 @@ def build_problem(p, schur_mode=None):
         else:
             schur_mode = "dense" if p.n_cam <= 192 else "cg"
     pair_k1, pair_k2 = lm_ops.build_intra_track_pairs(p.pts_ind, p.n_pts)
+    pt_table = lm_ops.build_gather_segments(p.pts_ind, p.n_pts)
+    cam_table = lm_ops.build_gather_segments(p.cam_ind, p.n_cam)
+    # dual padded layouts for the CG matvec (ops/lm.LMProblem docs): only
+    # when the padding overhead is bounded (a dominant camera/track could
+    # otherwise blow the (M, Tc)/(N, Tp) tables far beyond K slots)
+    K = p.n_obs
+    dual_ok = K > 0 and (pt_table.size <= 4 * K) and (cam_table.size <= 4 * K)
+    if dual_ok:
+        cam_ind_pt = np.where(
+            pt_table < K, np.asarray(p.cam_ind, np.int32)[np.minimum(pt_table, K - 1)],
+            np.int32(p.n_cam),
+        ).astype(np.int32)
+        pts_ind_cam = np.where(
+            cam_table < K, np.asarray(p.pts_ind, np.int32)[np.minimum(cam_table, K - 1)],
+            np.int32(p.n_pts),
+        ).astype(np.int32)
     prob = lm_ops.LMProblem(
         pts_ind=jnp.asarray(p.pts_ind),
         cam_ind=jnp.asarray(p.cam_ind),
@@ -171,9 +187,11 @@ def build_problem(p, schur_mode=None):
         pair_k1=jnp.asarray(pair_k1),
         pair_k2=jnp.asarray(pair_k2),
         # scatter-free segment sums (gather + dense reduce; see ops/lm.py)
-        pt_gather=jnp.asarray(lm_ops.build_gather_segments(p.pts_ind, p.n_pts)),
-        cam_gather=jnp.asarray(lm_ops.build_gather_segments(p.cam_ind, p.n_cam)),
+        pt_gather=jnp.asarray(pt_table),
+        cam_gather=jnp.asarray(cam_table),
         obs_at=None,
+        cam_ind_pt=jnp.asarray(cam_ind_pt) if dual_ok else None,
+        pts_ind_cam=jnp.asarray(pts_ind_cam) if dual_ok else None,
     )
     if mxu_ok:
         table = lm_ops.build_obs_at(p.pts_ind, p.cam_ind, p.n_pts, p.n_cam)

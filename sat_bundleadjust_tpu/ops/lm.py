@@ -60,6 +60,15 @@ class LMProblem(NamedTuple):
     # (3N, MP) matmul on the MXU instead of per-pair segment sums. Built
     # only when N*M is small enough to afford the table (build_problem).
     obs_at: jnp.ndarray = None
+    # dual padded observation layouts for the CG matvec (build_problem):
+    # cam_ind_pt (N, Tp) = camera index of each track-major slot (sentinel
+    # M) and pts_ind_cam (M, Tc) = point index of each camera-major slot
+    # (sentinel N). With W materialized in BOTH layouts once per LM step,
+    # each CG matvec becomes two dense axis-reductions + two row gathers —
+    # profiled 3x cheaper than segment-sum/gather-table reductions at
+    # 1000 cams / 800k obs, where the matvec dominated the whole solve.
+    cam_ind_pt: jnp.ndarray = None
+    pts_ind_cam: jnp.ndarray = None
 
 
 class LMConfig(NamedTuple):
@@ -299,15 +308,43 @@ def _cg_schur_solve(U_d, W, Vinv, b, prob: LMProblem, n_cam, cam_opt_mask, cg_it
     n_pts = Vinv.shape[0]
     m = cam_opt_mask.astype(jnp.float32)[:, None]
 
-    def matvec(x):  # x: (M, P)
-        ux = sm.mv(U_d, x)
-        wtx = _seg_sum_pt(sm.mtv(W, x[prob.cam_ind]), prob, n_pts)
-        z = sm.mv(Vinv, wtx)
-        wz = _seg_sum_cam(sm.mv(W, z[prob.pts_ind]), prob, n_cam)
-        out = ux - wz
-        if psum_axis is not None:
-            out = jax.lax.psum(out, psum_axis)
-        return out * m + x * (1.0 - m)
+    dual_layout = (
+        psum_axis is None
+        and prob.cam_ind_pt is not None
+        and prob.pts_ind_cam is not None
+    )
+    if dual_layout:
+        # materialize W in both padded layouts ONCE per LM step (zero rows
+        # in empty slots), so every matvec is dense reductions + row
+        # gathers instead of gather-table segment sums
+        W_pad = jnp.concatenate([W, jnp.zeros((1, P, 3), W.dtype)])
+        W_pt = W_pad[prob.pt_gather]  # (N, Tp, P, 3)
+        W_cm = W_pad[prob.cam_gather]  # (M, Tc, P, 3)
+        Vinv_cm = jnp.concatenate([Vinv, jnp.zeros((1, 3, 3), Vinv.dtype)])[
+            prob.pts_ind_cam
+        ]  # (M, Tc, 3, 3)
+
+        def matvec(x):  # x: (M, P)
+            ux = sm.mv(U_d, x)
+            xg = jnp.concatenate([x, jnp.zeros((1, P), x.dtype)])[prob.cam_ind_pt]
+            wtx = jnp.sum(sm.mtv(W_pt, xg), axis=1)  # (N, 3) dense reduce
+            z = sm.mv(Vinv, wtx)
+            zg = jnp.concatenate([z, jnp.zeros((1, 3), z.dtype)])[prob.pts_ind_cam]
+            wz = jnp.sum(sm.mv(W_cm, zg), axis=1)  # (M, P) dense reduce
+            out = ux - wz
+            return out * m + x * (1.0 - m)
+
+    else:
+
+        def matvec(x):  # x: (M, P)
+            ux = sm.mv(U_d, x)
+            wtx = _seg_sum_pt(sm.mtv(W, x[prob.cam_ind]), prob, n_pts)
+            z = sm.mv(Vinv, wtx)
+            wz = _seg_sum_cam(sm.mv(W, z[prob.pts_ind]), prob, n_cam)
+            out = ux - wz
+            if psum_axis is not None:
+                out = jax.lax.psum(out, psum_axis)
+            return out * m + x * (1.0 - m)
 
     # Block-Jacobi preconditioner built from the TRUE Schur diagonal:
     # S_cc = U_cc - sum_{k in obs(c)} Y_k W_k^T (a track observes a camera
@@ -316,8 +353,12 @@ def _cg_schur_solve(U_d, W, Vinv, b, prob: LMProblem, n_cam, cam_opt_mask, cg_it
     # iteration counts ~3x at small damping, where U is a poor proxy for S.
     # Inverted in f32: TPU XLA has no f64 LU, and preconditioner accuracy
     # is uncritical.
-    Y = sm.mm(W, Vinv[prob.pts_ind])  # (K, P, 3)
-    S_diag = U_d - _seg_sum_cam(sm.mbt(Y, W), prob, n_cam)
+    if dual_layout:
+        Yc = sm.mm(W_cm, Vinv_cm)  # (M, Tc, P, 3)
+        S_diag = U_d - jnp.sum(sm.mbt(Yc, W_cm), axis=1)
+    else:
+        Y = sm.mm(W, Vinv[prob.pts_ind])  # (K, P, 3)
+        S_diag = U_d - _seg_sum_cam(sm.mbt(Y, W), prob, n_cam)
     if psum_axis is not None:
         S_diag = jax.lax.psum(S_diag, psum_axis)
     prec = jnp.linalg.inv(
