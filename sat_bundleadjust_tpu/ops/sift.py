@@ -386,8 +386,12 @@ def _blur_dynamic(im, sigma, radius):
 def _detect_packed(im, thresh_dog, n_octaves, n_scales, max_kp_per_octave):
     """The FULL SIFT pyramid of a (B, H, W) image stack as one compiled
     program: seed upsample, every octave (scale space -> extrema ->
-    orientation/descriptors), and packing into one (B, total_slots, 132)
-    feature array + (B, total_slots) valid mask."""
+    orientation/descriptors), packed into (B, S, 4) f32 geometry
+    (col, row, scale, theta), (B, S, 128) uint8 descriptors and a (B, S)
+    valid mask. Descriptors are already 0..255-quantized (IPOL), so the
+    uint8 cast is exact and shrinks the host fetch ~3.7x — measured 673 ms
+    for the f32 (S, 132) layout at 2000x2000 over the tunnel, vs ~190 ms
+    for the whole compiled pyramid."""
     sigma_extra = float(np.sqrt(max(SIGMA_MIN ** 2 - SIGMA_IN ** 2, 0.0)) / DELTA_MIN)
     # incremental blur sigmas in octave pixels — the octave's delta cancels,
     # so ONE host constant serves every octave
@@ -401,7 +405,7 @@ def _detect_packed(im, thresh_dog, n_octaves, n_scales, max_kp_per_octave):
     def single(x):
         current = _blur(_upsample2(x), sigma_extra)
         delta = DELTA_MIN
-        feats_parts, valid_parts = [], []
+        geom_parts, desc_parts, valid_parts = [], [], []
         for _o in range(n_octaves):
             H, W = current.shape
             if H < 12 or W < 12:
@@ -418,15 +422,17 @@ def _detect_packed(im, thresh_dog, n_octaves, n_scales, max_kp_per_octave):
             # secondary-orientation keypoints: same location/scale, second
             # histogram peak >= 0.8 max (IPOL emits these as extras)
             for theta, desc, vv in ((th, de, kp["valid"]), (th2, de2, v2)):
-                feats_parts.append(
-                    jnp.concatenate(
-                        [col[:, None], row[:, None], abs_sigma[:, None],
-                         theta[:, None], desc], axis=1,
-                    )
+                geom_parts.append(
+                    jnp.stack([col, row, abs_sigma, theta], axis=1)
                 )
+                desc_parts.append(desc.astype(jnp.uint8))
                 valid_parts.append(vv)
             delta *= 2.0
-        return jnp.concatenate(feats_parts, 0), jnp.concatenate(valid_parts, 0)
+        return (
+            jnp.concatenate(geom_parts, 0),
+            jnp.concatenate(desc_parts, 0),
+            jnp.concatenate(valid_parts, 0),
+        )
 
     return jax.vmap(single)(im)
 
@@ -496,11 +502,13 @@ def detect_sift_batch(images, thresh_dog=0.0133, n_octaves=8, n_scales=3,
     im = jnp.asarray(im) if device_put_fn is None else device_put_fn(im)
 
     # the WHOLE pyramid runs as one compiled program per (B, H, W) and the
-    # packed result is fetched in two transfers: per-octave programs cost a
-    # ~30 ms tunnel handshake per dispatch (17 dispatches = ~0.5 s of pure
-    # protocol at 2000x2000), and a fetch of the raw per-octave pytree is
-    # ~100 leaves at one round trip each
-    feats_all, valid_all = jax.device_get(
+    # packed (f32 geometry, uint8 descriptor, valid) result is fetched in
+    # one device_get: per-octave programs cost a ~30 ms tunnel handshake
+    # per dispatch (17 dispatches = ~0.5 s of pure protocol at 2000x2000),
+    # a fetch of the raw per-octave pytree is ~100 leaves at one round trip
+    # each, and an f32 (S, 132) layout is ~3.7x the bytes of this one
+    # (673 ms vs the ~190 ms compiled pyramid at 2000x2000)
+    geom_all, desc_all, valid_all = jax.device_get(
         _detect_packed(
             im, jnp.float32(thresh_dog), n_octaves, n_scales, max_kp_per_octave
         )
@@ -509,7 +517,9 @@ def detect_sift_batch(images, thresh_dog=0.0133, n_octaves=8, n_scales=3,
     out = []
     for b in range(B):
         v = valid_all[b]
-        feats = feats_all[b][v]
+        feats = np.concatenate(
+            [geom_all[b][v], desc_all[b][v].astype(np.float32)], axis=1
+        )
         if feats.shape[0] == 0:
             out.append(np.zeros((0, 132)))
             continue
