@@ -308,15 +308,15 @@ def _cg_schur_solve(U_d, W, Vinv, b, prob: LMProblem, n_cam, cam_opt_mask, cg_it
     n_pts = Vinv.shape[0]
     m = cam_opt_mask.astype(jnp.float32)[:, None]
 
-    dual_layout = (
-        psum_axis is None
-        and prob.cam_ind_pt is not None
-        and prob.pts_ind_cam is not None
-    )
+    dual_layout = prob.cam_ind_pt is not None and prob.pts_ind_cam is not None
     if dual_layout:
         # materialize W in both padded layouts ONCE per LM step (zero rows
         # in empty slots), so every matvec is dense reductions + row
-        # gathers instead of gather-table segment sums
+        # gathers instead of gather-table segment sums. Under psum_axis
+        # (distributed shards) the point side is shard-LOCAL (renumbered
+        # tracks, parallel/dist_solver.shard_observations) and the partial
+        # camera-space result is all-reduced, exactly like the layout-free
+        # path.
         W_pad = jnp.concatenate([W, jnp.zeros((1, P, 3), W.dtype)])
         W_pt = W_pad[prob.pt_gather]  # (N, Tp, P, 3)
         W_cm = W_pad[prob.cam_gather]  # (M, Tc, P, 3)
@@ -332,6 +332,8 @@ def _cg_schur_solve(U_d, W, Vinv, b, prob: LMProblem, n_cam, cam_opt_mask, cg_it
             zg = jnp.concatenate([z, jnp.zeros((1, 3), z.dtype)])[prob.pts_ind_cam]
             wz = jnp.sum(sm.mv(W_cm, zg), axis=1)  # (M, P) dense reduce
             out = ux - wz
+            if psum_axis is not None:
+                out = jax.lax.psum(out, psum_axis)
             return out * m + x * (1.0 - m)
 
     else:

@@ -41,7 +41,18 @@ def shard_observations(pts_ind, cam_ind, pts2d, weights, n_pts, n_shards, n_cam=
     entries have weight 0 (they contribute exactly zero to residuals and
     normal equations since r and J carry the weight factor). "obs_index"
     maps each slot back to the original observation row (-1 for padding) so
-    per-observation outputs (reprojection errors) can be scattered back."""
+    per-observation outputs (reprojection errors) can be scattered back.
+
+    Tracks are RENUMBERED shard-locally ("pts_loc", L = max owned tracks
+    per shard): the 3x3 point blocks, their inverses, the CG matvec's
+    point-side reduce and the back-substitution all run over (L, ...)
+    arrays that shrink ~1/n_shards, instead of global (n_pts, ...) arrays
+    replicated per shard. "track_global" (L,) maps local->global (sentinel
+    n_pts), "local_of_global" (n_pts,) maps global->local (sentinel L) so
+    the point step rejoins the replicated (n_pts, 3) state with one gather
+    + psum (no scatter). "cam_ind_pt"/"pts_ind_cam" are the per-shard dual
+    padded layouts of ops/lm.LMProblem (absent when a dominant camera
+    would blow their padding past 4x the shard's observation count)."""
     pts_ind = np.asarray(pts_ind)
     cam_ind = np.asarray(cam_ind)
     pts2d = np.asarray(pts2d)
@@ -79,21 +90,43 @@ def shard_observations(pts_ind, cam_ind, pts2d, weights, n_pts, n_shards, n_cam=
                 out[s, : len(idx)] = arr[idx]
         return out
 
+    # shard-local track renumbering: owned tracks in appearance order
+    if n_cam is None:
+        n_cam = int(cam_ind.max()) + 1 if len(cam_ind) else 1
+    owned = [
+        np.where((shard_of_track == s) & (track_sizes > 0))[0]
+        for s in range(n_shards)
+    ]
+    L = max(max((len(o) for o in owned), default=0), 1)
+    track_global = np.full((n_shards, L), n_pts, np.int32)
+    local_of_global = np.full((n_shards, n_pts), L, np.int32)
+    for s in range(n_shards):
+        track_global[s, : len(owned[s])] = owned[s]
+        local_of_global[s, owned[s]] = np.arange(len(owned[s]), dtype=np.int32)
+
     # per-shard scatter-free segment-sum tables (ops/lm.py): indices refer
     # to LOCAL padded obs positions; the sentinel K_pad addresses the zero
     # row appended by _seg_sum. Built from real observations only so that
-    # segment widths reflect actual track/camera loads, not padding.
+    # segment widths reflect actual track/camera loads, not padding. The
+    # point-side table segments are the LOCAL track ids.
     pt_tables, cam_tables = [], []
-    if n_cam is None:
-        n_cam = int(cam_ind.max()) + 1 if len(cam_ind) else 1
+    pts_loc_rows = []
+    dual_ok = True
     for s in range(n_shards):
         idx = np.concatenate(shards[s]) if shards[s] else np.zeros(0, np.int64)
-        tp = lm_ops.build_gather_segments(pts_ind[idx], n_pts)
+        loc = local_of_global[s][pts_ind[idx]] if len(idx) else np.zeros(0, np.int64)
+        tp = lm_ops.build_gather_segments(loc, L)
         tc = lm_ops.build_gather_segments(cam_ind[idx], n_cam)
         tp[tp == len(idx)] = K_pad
         tc[tc == len(idx)] = K_pad
         pt_tables.append(tp)
         cam_tables.append(tc)
+        row = np.zeros(K_pad, np.int32)
+        row[: len(idx)] = loc
+        pts_loc_rows.append(row)
+        dual_ok &= len(idx) == 0 or (
+            tp.size <= 4 * len(idx) and tc.size <= 4 * len(idx)
+        )
 
     def stack_tables(tables):
         T = max(t.shape[1] for t in tables)
@@ -108,16 +141,36 @@ def shard_observations(pts_ind, cam_ind, pts2d, weights, n_pts, n_shards, n_cam=
             idx = np.concatenate(shards[s])
             obs_index[s, : len(idx)] = idx
 
-    return {
+    out = {
         "pts_ind": pad(pts_ind, 0, np.int32),
         "cam_ind": pad(cam_ind, 0, np.int32),
         "pts2d": pad(pts2d, 0.0, np.float64),
         "weights": pad(weights, 0.0, np.float64),
         "pt_gather": stack_tables(pt_tables),
         "cam_gather": stack_tables(cam_tables),
+        "pts_loc": np.stack(pts_loc_rows),
+        "track_global": track_global,
+        "local_of_global": local_of_global,
         "shard_of_track": shard_of_track,
         "obs_index": obs_index,
     }
+    if dual_ok:
+        # dual padded layouts (ops/lm.LMProblem cam_ind_pt/pts_ind_cam),
+        # indices local to the shard: camera of each track-major slot
+        # (sentinel n_cam) and LOCAL point of each camera-major slot
+        # (sentinel L)
+        cam_pad = pad(cam_ind, 0, np.int32)  # (n_shards, K_pad)
+        tp, tc = out["pt_gather"], out["cam_gather"]
+        cam_ind_pt = np.full(tp.shape, n_cam, np.int32)
+        pts_ind_cam = np.full(tc.shape, L, np.int32)
+        for s in range(n_shards):
+            real = tp[s] < K_pad
+            cam_ind_pt[s][real] = cam_pad[s][tp[s][real]]
+            real = tc[s] < K_pad
+            pts_ind_cam[s][real] = pts_loc_rows[s][tc[s][real]]
+        out["cam_ind_pt"] = cam_ind_pt
+        out["pts_ind_cam"] = pts_ind_cam
+    return out
 
 
 _HOST_KEYS = ("shard_of_track", "obs_index")  # host-side metadata, not device operands
@@ -170,12 +223,24 @@ class DistributedLM:
         rpc_spec = None if self.rpcs is None else jax.tree.map(lambda _: P(), self.rpcs)
 
         def local_prob(obs, cam_opt_mask, pts_opt_mask):
+            """Shard-local problem: the POINT side is renumbered to the
+            shard's own tracks (pts_loc / track_global), so V, Vinv, the
+            matvec's point reduce and the back-substitution are (L, ...)
+            local arrays instead of replicated (n_pts, ...) ones."""
+            tg = obs["track_global"][0]  # (L,) global id, sentinel n_pts
+            pmask_loc = jnp.where(
+                tg < pts_opt_mask.shape[0],
+                pts_opt_mask[jnp.minimum(tg, pts_opt_mask.shape[0] - 1)],
+                1.0,
+            )
             return lm_ops.LMProblem(
-                pts_ind=obs["pts_ind"][0], cam_ind=obs["cam_ind"][0],
+                pts_ind=obs["pts_loc"][0], cam_ind=obs["cam_ind"][0],
                 pts2d=obs["pts2d"][0], weights=obs["weights"][0],
-                cam_opt_mask=cam_opt_mask, pts_opt_mask=pts_opt_mask,
+                cam_opt_mask=cam_opt_mask, pts_opt_mask=pmask_loc,
                 pair_k1=jnp.zeros(0, jnp.int32), pair_k2=jnp.zeros(0, jnp.int32),
                 pt_gather=obs["pt_gather"][0], cam_gather=obs["cam_gather"][0],
+                cam_ind_pt=obs["cam_ind_pt"][0] if "cam_ind_pt" in obs else None,
+                pts_ind_cam=obs["pts_ind_cam"][0] if "pts_ind_cam" in obs else None,
             )
 
         def local_residuals(obs, cam_tail, rpcs, cam, pts):
@@ -229,13 +294,20 @@ class DistributedLM:
             def cost_of(r):
                 return jax.lax.psum(loss_cost(cfg_local.loss, r, cfg_local.f_scale), OBS_AXIS)
 
+            n_loc = obs["track_global"].shape[-1]
+            local_of_global = obs["local_of_global"][0]  # (n_pts,), sentinel L
+
             def step(cam, pts, lam):
                 r, J_cam, J_pt = local_jacobians(obs, cam_tail, rpcs, cam, pts)
-                dcam, dpt = lm_ops.lm_step(
-                    r, J_cam, J_pt, lam, prob, cam.shape[0], pts.shape[0], cfg_local,
+                dcam, dpt_loc = lm_ops.lm_step(
+                    r, J_cam, J_pt, lam, prob, cam.shape[0], n_loc, cfg_local,
                     psum_axis=OBS_AXIS,
                 )
-                # dpt is exact on the shard owning the track, zero elsewhere
+                # rejoin the replicated point state: gather each global
+                # track's step from the owning shard's local solution (zero
+                # off-shard via the appended sentinel row), then one psum
+                dpt_pad = jnp.concatenate([dpt_loc, jnp.zeros((1, 3), dpt_loc.dtype)])
+                dpt = dpt_pad[local_of_global]
                 return dcam, jax.lax.psum(dpt, OBS_AXIS)
 
             r0 = local_residuals(obs, cam_tail, rpcs, cam, pts)

@@ -36,6 +36,38 @@ def test_shard_observations_partitions_tracks():
     assert int((sh["weights"] > 0).sum()) == p.n_obs
 
 
+def test_shard_local_renumbering():
+    """track_global/local_of_global must be mutually inverse, pts_loc must
+    renumber each shard's observations consistently, and the dual padded
+    layouts must decode back to the shard's (camera, local point) pairs."""
+    scene = synthetic_scene(n_cam=4, n_pts=50, rot_scale=1e-5, seed=0)
+    p = BAParams(scene["C"], scene["pts3d"], scene["cameras"], "rpc",
+                 scene["pairs_to_triangulate"], scene["camera_centers"], {"verbose": False})
+    sh = shard_observations(p.pts_ind, p.cam_ind, p.pts2d, p.pts2d_w, p.n_pts, 4)
+    L = sh["track_global"].shape[1]
+    K_pad = sh["pts_ind"].shape[1]
+    for s in range(4):
+        tg = sh["track_global"][s]
+        log = sh["local_of_global"][s]
+        for l in range(L):
+            if tg[l] < p.n_pts:
+                assert log[tg[l]] == l
+        valid = sh["weights"][s] > 0
+        np.testing.assert_array_equal(
+            sh["pts_loc"][s][valid], log[sh["pts_ind"][s][valid]]
+        )
+        # dual layouts decode to the same obs set
+        assert "cam_ind_pt" in sh and "pts_ind_cam" in sh
+        tp, cp = sh["pt_gather"][s], sh["cam_ind_pt"][s]
+        real = tp < K_pad
+        np.testing.assert_array_equal(cp[real], sh["cam_ind"][s][tp[real]])
+        assert np.all(cp[~real] == 4)
+        tc, pc = sh["cam_gather"][s], sh["pts_ind_cam"][s]
+        real = tc < K_pad
+        np.testing.assert_array_equal(pc[real], sh["pts_loc"][s][tc[real]])
+        assert np.all(pc[~real] == L)
+
+
 def test_distributed_matches_single_device():
     scene = synthetic_scene(n_cam=4, n_pts=100, rot_scale=1e-5, seed=9, noise_px=0.05)
     p1 = BAParams(scene["C"], scene["pts3d"], scene["cameras"], "rpc",
