@@ -145,7 +145,9 @@ def bench_tracks():
     reference's opencv SIFT detection is not faster than ours here)."""
     import jax
 
-    from sat_bundleadjust_tpu.ops.match import match_pair
+    from sat_bundleadjust_tpu.ops.match import (
+        _finalize_matches, match_pairs_2nn_batched,
+    )
     from sat_bundleadjust_tpu.ops.sift import detect_sift_batch
     from sat_bundleadjust_tpu.tracks.build import feature_tracks_from_pairwise_matches
     from sat_bundleadjust_tpu.utils.demo import render_synthetic_images
@@ -158,21 +160,29 @@ def bench_tracks():
     images, _ = render_synthetic_images(n_cam=n_im, h=h, w=w, seed=0)
     pairs = [(i, j) for i in range(n_im) for j in range(i + 1, n_im)]
 
+    def match_all(feats):
+        """All pairs in one batched 2-NN dispatch (the pipeline's
+        single-chip path, tracks/matching.py), then host RANSAC."""
+        nn_results = match_pairs_2nn_batched(
+            [(feats[i], feats[j]) for (i, j) in pairs], [None] * len(pairs)
+        )
+        pm = []
+        for (i, j), (nn, acc) in zip(pairs, nn_results):
+            m, _, _ = _finalize_matches(feats[i], feats[j], nn, acc, 0.3)
+            if m is not None and len(m):
+                pm.append(np.hstack([
+                    m, np.full((len(m), 1), i, np.int64), np.full((len(m), 1), j, np.int64)
+                ]))
+        return np.concatenate(pm)
+
     # warm the per-shape compilations (batched detection octaves + matcher)
-    f0 = np.asarray(detect_sift_batch(images, max_kp=max_kp)[0])
-    match_pair(f0, f0)
+    feats0 = [np.asarray(f) for f in detect_sift_batch(images, max_kp=max_kp)]
+    match_all(feats0)
 
     t0 = time.time()
     feats = [np.asarray(f) for f in detect_sift_batch(images, max_kp=max_kp)]
     det_time = time.time() - t0
-    pm = []
-    for (i, j) in pairs:
-        m, _, _ = match_pair(feats[i], feats[j])
-        if m is not None and len(m):
-            pm.append(np.hstack([
-                m, np.full((len(m), 1), i, np.int64), np.full((len(m), 1), j, np.int64)
-            ]))
-    pm = np.concatenate(pm)
+    pm = match_all(feats)
     C, _ = feature_tracks_from_pairwise_matches(feats, pm, pairs)
     elapsed = time.time() - t0
     n_tracks = C.shape[1]

@@ -184,6 +184,85 @@ def match_pair(features_i, features_j, F=None, rel_thr=0.6, abs_thr=250.0,
     return _finalize_matches(features_i, features_j, np.asarray(nn_idx), np.asarray(accepted), ransac_thr)
 
 
+def match_pairs_2nn_batched(pair_feats, pair_F, rel_thr=0.6, abs_thr=250.0,
+                            method="relative", epipolar_thr=EPIPOLAR_THR):
+    """2-NN + ratio/epipolar stage for MANY pairs in one device dispatch.
+
+    pair_feats: list of (features_i, features_j) (N, 132) arrays; pair_F:
+    list of (3, 3) fundamental matrices or None (disables the epipolar
+    gate for that pair). Returns a list of (nn_idx, accepted) numpy arrays
+    — the caller runs the host-side finalize (RANSAC, UTM elbow).
+
+    On a TPU backend all pairs run through ONE batched Pallas kernel
+    launch and ONE packed fetch: the single-pair path costs a dispatch
+    plus three array fetches per pair, ~100 ms of tunnel round trips each
+    — this was the dominant cost of the whole tracks stage once detection
+    was batched (BENCHMARKS.md). Non-TPU backends loop the lax matcher
+    (compiles per shape; fine on CPU test sizes)."""
+    B = len(pair_feats)
+    if B == 0:
+        return []
+    if jax.default_backend() != "tpu":
+        out = []
+        for (fi, fj), F in zip(pair_feats, pair_F):
+            fi, fj = np.asarray(fi), np.asarray(fj)
+            nn, acc, _ = match_descriptors_2nn(
+                jnp.asarray(fi[:, 4:]), jnp.asarray(fj[:, 4:]),
+                jnp.asarray(fi[:, :2]), jnp.asarray(fj[:, :2]),
+                jnp.asarray(~np.isnan(fi[:, 0])), jnp.asarray(~np.isnan(fj[:, 0])),
+                F=None if F is None else jnp.asarray(F),
+                rel_thr=rel_thr, abs_thr=abs_thr,
+                epipolar_thr=epipolar_thr, method=method,
+            )
+            out.append((np.asarray(nn), np.asarray(acc)))
+        return out
+
+    from sat_bundleadjust_tpu.ops.pallas_match import pallas_2nn_batched
+
+    n1 = max(max(np.asarray(f[0]).shape[0] for f in pair_feats), 1)
+    n2 = max(max(np.asarray(f[1]).shape[0] for f in pair_feats), 1)
+    # round up so runs with similar keypoint counts share one compilation
+    n1 = -(-n1 // 256) * 256
+    n2 = -(-n2 // 512) * 512
+    di = np.zeros((B, n1, 128), np.float32)
+    dj = np.zeros((B, n2, 128), np.float32)
+    li = np.zeros((B, n1, 3), np.float32)
+    li[:, :, 0] = 1.0
+    hj = np.zeros((B, n2, 3), np.float32)
+    hj[:, :, 2] = 1.0
+    vi = np.zeros((B, n1), np.float32)
+    vj = np.zeros((B, n2), np.float32)
+    thr = np.full(B, 1e9, np.float32)
+    for b, ((fi, fj), F) in enumerate(zip(pair_feats, pair_F)):
+        fi, fj = np.asarray(fi), np.asarray(fj)
+        ki, kj = fi.shape[0], fj.shape[0]
+        vi[b, :ki] = ~np.isnan(fi[:, 0])
+        vj[b, :kj] = ~np.isnan(fj[:, 0])
+        di[b, :ki] = np.nan_to_num(fi[:, 4:])
+        dj[b, :kj] = np.nan_to_num(fj[:, 4:])
+        hj[b, :kj, :2] = np.nan_to_num(fj[:, :2])
+        if F is not None:
+            h_i = np.hstack([np.nan_to_num(fi[:, :2]), np.ones((ki, 1))])
+            li[b, :ki] = (h_i @ np.asarray(F).T).astype(np.float32)
+            thr[b] = float(epipolar_thr)
+
+    packed = np.asarray(pallas_2nn_batched(
+        jnp.asarray(di), jnp.asarray(dj), jnp.asarray(li), jnp.asarray(hj),
+        jnp.asarray(vi), jnp.asarray(vj), jnp.asarray(thr),
+    ))  # (B, 3, n1): d1, d2, nn
+    out = []
+    for b, (fi, _fj) in enumerate(pair_feats):
+        ki = np.asarray(fi).shape[0]
+        d1, d2, nn = packed[b, 0, :ki], packed[b, 1, :ki], packed[b, 2, :ki]
+        if method == "relative":
+            accepted = d1 < (rel_thr ** 2) * d2
+        else:
+            accepted = d1 < abs_thr ** 2
+        accepted &= (d1 < 5e11) & (vi[b, :ki] > 0)
+        out.append((nn.astype(np.int64), accepted))
+    return out
+
+
 def _finalize_matches(features_i, features_j, nn_idx, accepted, ransac_thr):
     """Shared tail: collect accepted pairs + RANSAC geometric filtering."""
     from sat_bundleadjust_tpu.ops.ransac import ransac_fundamental

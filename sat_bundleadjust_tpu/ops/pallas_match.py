@@ -96,6 +96,126 @@ def _kernel(di_ref, li_ref, vi_ref, dj_ref, hj_ref, vj_ref, thr_ref,
         idx_ref[:] = c_idx[:]
 
 
+def _kernel_b(di_ref, li_ref, vi_ref, dj_ref, hj_ref, vj_ref, thr_ref,
+              d1_ref, d2_ref, idx_ref, c_d1, c_d2, c_idx):
+    """Pair-batched twin of _kernel: grid (pair b, row tile i, col tile j),
+    j innermost so the VMEM top-2 carry stays valid per (b, i); the
+    epipolar threshold comes from SMEM per pair (1e9 disables gating)."""
+    b = pl.program_id(0)
+    j = pl.program_id(2)
+    n_j = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        c_d1[:] = jnp.full((BM, 1), BIG, jnp.float32)
+        c_d2[:] = jnp.full((BM, 1), BIG, jnp.float32)
+        c_idx[:] = jnp.zeros((BM, 1), jnp.int32)
+
+    di = di_ref[0]  # (BM, 128)
+    dj = dj_ref[0]  # (BN, 128)
+    cross = jax.lax.dot_general(
+        di, dj, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    sq_i = jnp.sum(di * di, axis=1, keepdims=True)
+    sq_j = jnp.sum(dj * dj, axis=1, keepdims=True)
+    dist = jnp.maximum(sq_i + sq_j.T - 2.0 * cross, 0.0)
+
+    li = li_ref[0]  # (BM, 3)
+    hj = hj_ref[0]  # (BN, 3)
+    num = jax.lax.dot_general(
+        li, hj, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    denom = li[:, 0:1] ** 2 + li[:, 1:2] ** 2
+    thr = thr_ref[b]
+    gate_ok = num * num <= (thr * thr) * denom
+
+    valid = (vi_ref[0] > 0) & (vj_ref[0].T > 0) & gate_ok
+    big32 = jnp.float32(BIG)
+    dist = jnp.where(valid, dist, big32)
+
+    v1 = jnp.min(dist, axis=1, keepdims=True)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+    arg1 = jnp.min(
+        jnp.where(dist <= v1, col_ids, jnp.int32(2 ** 30)), axis=1, keepdims=True
+    )
+    dist_wo = jnp.where(col_ids == arg1, big32, dist)
+    v2 = jnp.min(dist_wo, axis=1, keepdims=True)
+    g_idx = arg1 + j * BN
+
+    old1, old2, oldi = c_d1[:], c_d2[:], c_idx[:]
+    new1 = jnp.minimum(old1, v1)
+    newi = jnp.where(v1 < old1, g_idx, oldi)
+    new2 = jnp.minimum(jnp.maximum(old1, v1), jnp.minimum(old2, v2))
+    c_d1[:] = new1
+    c_d2[:] = new2
+    c_idx[:] = newi
+
+    @pl.when(j == n_j - 1)
+    def _():
+        d1_ref[0] = c_d1[:]
+        d2_ref[0] = c_d2[:]
+        idx_ref[0] = c_idx[:]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_2nn_batched(desc_i, desc_j, lines_i, hpts_j, valid_i, valid_j,
+                       epi_thr, interpret=False):
+    """Batched-pair 2-NN: ONE kernel dispatch for all pairs, ONE packed
+    fetch — on a tunneled device the per-pair dispatch + 3-array fetch of
+    the single-pair path costs ~100 ms of round trips per pair.
+
+    desc_i: (B, N1, 128); desc_j: (B, N2, 128); lines_i: (B, N1, 3);
+    hpts_j: (B, N2, 3); valid_*: (B, N) 0/1; epi_thr: (B,) per-pair
+    threshold (1e9 disables the gate).
+    Returns ONE (B, 3, N1) f32 array stacking (d1, d2, nn_index)."""
+    B, n1 = desc_i.shape[0], desc_i.shape[1]
+    n2 = desc_j.shape[1]
+    pad1 = (-n1) % BM
+    pad2 = (-n2) % BN
+    di = jnp.pad(desc_i.astype(jnp.float32), ((0, 0), (0, pad1), (0, 0)))
+    dj = jnp.pad(desc_j.astype(jnp.float32), ((0, 0), (0, pad2), (0, 0)))
+    li = jnp.pad(lines_i.astype(jnp.float32), ((0, 0), (0, pad1), (0, 0)))
+    hj = jnp.pad(hpts_j.astype(jnp.float32), ((0, 0), (0, pad2), (0, 0)))
+    vi = jnp.pad(valid_i.astype(jnp.float32)[..., None], ((0, 0), (0, pad1), (0, 0)))
+    vj = jnp.pad(valid_j.astype(jnp.float32)[..., None], ((0, 0), (0, pad2), (0, 0)))
+    thr = epi_thr.astype(jnp.float32)
+
+    grid = (B, di.shape[1] // BM, dj.shape[1] // BN)
+    with jax.enable_x64(False):
+        d1, d2, idx = pl.pallas_call(
+            _kernel_b,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, BM, 128), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BM, 3), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BM, 1), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BN, 128), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BN, 3), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BN, 1), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, BM, 1), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BM, 1), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BM, 1), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, di.shape[1], 1), jnp.float32),
+                jax.ShapeDtypeStruct((B, di.shape[1], 1), jnp.float32),
+                jax.ShapeDtypeStruct((B, di.shape[1], 1), jnp.int32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((BM, 1), jnp.float32),
+                pltpu.VMEM((BM, 1), jnp.float32),
+                pltpu.VMEM((BM, 1), jnp.int32),
+            ],
+            interpret=interpret,
+        )(di, li, vi, dj, hj, vj, thr)
+    return jnp.stack(
+        [d1[:, :n1, 0], d2[:, :n1, 0], idx[:, :n1, 0].astype(jnp.float32)], axis=1
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def pallas_2nn(desc_i, desc_j, lines_i, hpts_j, valid_i, valid_j, epi_thr,
                interpret=False):

@@ -223,6 +223,15 @@ def ransac_fundamental(pts1, pts2, thr=0.3, seed=0, n_hypotheses=N_HYPOTHESES,
         return _ransac_numpy(pts1, pts2, valid, thr, seed, n_hypotheses, refit)
     dev = _preferred_device()
 
+    # bucket-pad the match count (valid=False filler) so _ransac_core
+    # compiles once per size bucket instead of once per exact match count
+    # (pipelines call this per pair with a different count every time)
+    n_pad = max(MIN_SAMPLES, 1 << int(np.ceil(np.log2(n))))
+    if n_pad > n:
+        pts1 = np.concatenate([pts1, np.zeros((n_pad - n, 2))])
+        pts2 = np.concatenate([pts2, np.zeros((n_pad - n, 2))])
+        valid = np.concatenate([valid, np.zeros(n_pad - n, bool)])
+
     def put(x):
         # committing the inputs to the device pins the jitted computation
         # there (jax.default_device alone is not honored under the axon
@@ -244,4 +253,4 @@ def ransac_fundamental(pts1, pts2, thr=0.3, seed=0, n_hypotheses=N_HYPOTHESES,
             F = _eight_point(put(pts1[inliers]), put(pts2[inliers]))
             errs = np.asarray(_sym_epipolar_err(F, put(pts1), put(pts2)))
             inliers = (errs < thr ** 2) & valid
-    return np.asarray(F), inliers
+    return np.asarray(F), inliers[:n]

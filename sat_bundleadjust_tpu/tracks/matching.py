@@ -276,16 +276,33 @@ def match_stereo_pairs(pairs_to_match, features, footprints, utm_coords, tracks_
         from sat_bundleadjust_tpu.parallel.feature_shard import default_mesh_or_none
 
         mesh = default_mesh_or_none()
-    if mesh is not None and mesh_ok and len(to_match) >= 2:
-        from sat_bundleadjust_tpu.parallel.feature_shard import match_pairs_mesh
+    import jax
 
+    single_tpu = mesh is None and jax.default_backend() == "tpu"
+    if (mesh is not None or single_tpu) and mesh_ok and len(to_match) >= 2:
         pair_F = [
             None if method_cfg in ("bruteforce", "flann") else F[idx]
             for (idx, *_rest) in to_match
         ]
-        nn_results = match_pairs_mesh(
-            [(fi, fj) for (_, fi, fj, *_r) in to_match], pair_F, tracks_config, mesh
-        )
+        if single_tpu:
+            # one batched Pallas dispatch + one packed fetch for ALL pairs
+            # (a tunneled chip pays ~100 ms of round trips per per-pair
+            # launch; see ops/match.match_pairs_2nn_batched)
+            from sat_bundleadjust_tpu.ops.match import match_pairs_2nn_batched
+
+            method = "absolute" if method_cfg == "absolute" else "relative"
+            nn_results = match_pairs_2nn_batched(
+                [(fi, fj) for (_, fi, fj, *_r) in to_match], pair_F,
+                rel_thr=float(tracks_config["FT_rel_thr"]),
+                abs_thr=float(tracks_config["FT_abs_thr"]),
+                method=method,
+            )
+        else:
+            from sat_bundleadjust_tpu.parallel.feature_shard import match_pairs_mesh
+
+            nn_results = match_pairs_mesh(
+                [(fi, fj) for (_, fi, fj, *_r) in to_match], pair_F, tracks_config, mesh
+            )
         for (idx, fi, fj, idx_i, idx_j, utm_i, utm_j), (nn, acc) in zip(to_match, nn_results):
             resolved[idx] = _finalize_pair_from_nn(
                 fi, fj, idx_i, idx_j, nn, acc, utm_i, utm_j, tracks_config

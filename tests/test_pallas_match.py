@@ -46,6 +46,83 @@ def test_pallas_kernel_matches_lax_no_gating():
     assert np.mean(agree) > 0.999, np.mean(agree)
 
 
+def test_pallas_batched_matches_single_pair():
+    """The pair-batched kernel (one dispatch for all pairs) must reproduce
+    the single-pair kernel per pair, including per-pair gating on/off."""
+    from sat_bundleadjust_tpu.ops.pallas_match import pallas_2nn_batched
+
+    B = 3
+    probs = [_random_problem(seed=s) for s in range(B)]
+    n1 = max(p[0].shape[0] for p in probs)
+    n2 = max(p[1].shape[0] for p in probs)
+    di = np.zeros((B, n1, 128), np.float32)
+    dj = np.zeros((B, n2, 128), np.float32)
+    li = np.zeros((B, n1, 3), np.float32)
+    hj = np.zeros((B, n2, 3), np.float32)
+    hj[:, :, 2] = 1.0
+    vi = np.zeros((B, n1), np.float32)
+    vj = np.zeros((B, n2), np.float32)
+    thr = np.zeros(B, np.float32)
+    singles = []
+    for b, (d1, d2, p1, p2, v1, v2) in enumerate(probs):
+        di[b, : len(d1)] = d1
+        dj[b, : len(d2)] = d2
+        vi[b, : len(d1)] = v1
+        vj[b, : len(d2)] = v2
+        hj[b, : len(d2), :2] = p2
+        if b == 1:  # pair 1 gets a real epipolar gate
+            li[b, : len(d1)] = np.stack(
+                [np.zeros(len(d1)), np.ones(len(d1)), -p1[:, 1]], axis=1
+            )
+            thr[b] = 30.0
+        else:
+            li[b, : len(d1), 0] = 1.0
+            thr[b] = 1e9
+        sd1, sd2, sidx = pallas_2nn(
+            jnp.asarray(di[b]), jnp.asarray(dj[b]), jnp.asarray(li[b]),
+            jnp.asarray(hj[b]), jnp.asarray(vi[b]), jnp.asarray(vj[b]),
+            float(thr[b]), interpret=True,
+        )
+        singles.append((np.asarray(sd1), np.asarray(sd2), np.asarray(sidx)))
+
+    packed = np.asarray(pallas_2nn_batched(
+        jnp.asarray(di), jnp.asarray(dj), jnp.asarray(li), jnp.asarray(hj),
+        jnp.asarray(vi), jnp.asarray(vj), jnp.asarray(thr), interpret=True,
+    ))
+    assert packed.shape == (B, 3, n1)
+    for b, (sd1, sd2, sidx) in enumerate(singles):
+        np.testing.assert_allclose(packed[b, 0], sd1, rtol=1e-6)
+        np.testing.assert_allclose(packed[b, 1], sd2, rtol=1e-6)
+        np.testing.assert_array_equal(packed[b, 2].astype(np.int32), sidx)
+
+
+def test_match_pairs_2nn_batched_cpu_fallback():
+    """The batched orchestration helper must agree with per-pair
+    match_descriptors_2nn on the CPU backend."""
+    from sat_bundleadjust_tpu.ops.match import match_pairs_2nn_batched
+
+    feats = []
+    for s in range(2):
+        d1, d2, p1, p2, v1, v2 = _random_problem(n1=120, n2=150, seed=10 + s)
+        fi = np.hstack([p1, np.ones((len(d1), 2), np.float32), d1])
+        fj = np.hstack([p2, np.ones((len(d2), 2), np.float32), d2])
+        fi[~v1] = np.nan
+        fj[~v2] = np.nan
+        feats.append((fi, fj))
+    out = match_pairs_2nn_batched(feats, [None, None], rel_thr=0.8)
+    assert len(out) == 2
+    for (fi, fj), (nn, acc) in zip(feats, out):
+        nn_ref, acc_ref, _ = match_descriptors_2nn(
+            jnp.asarray(fi[:, 4:]), jnp.asarray(fj[:, 4:]),
+            jnp.asarray(fi[:, :2]), jnp.asarray(fj[:, :2]),
+            jnp.asarray(~np.isnan(fi[:, 0])), jnp.asarray(~np.isnan(fj[:, 0])),
+            F=None, rel_thr=0.8,
+        )
+        np.testing.assert_array_equal(np.asarray(acc), np.asarray(acc_ref))
+        agree = np.asarray(nn)[np.asarray(acc)] == np.asarray(nn_ref)[np.asarray(acc)]
+        assert np.all(agree)
+
+
 def test_pallas_kernel_epipolar_gating():
     d1, d2, p1, p2, v1, v2 = _random_problem(seed=1)
     # horizontal epipolar lines through each left point: y_j must be close
