@@ -199,10 +199,15 @@ def match_pairs_2nn_batched(pair_feats, pair_F, rel_thr=0.6, abs_thr=250.0,
     — this was the dominant cost of the whole tracks stage once detection
     was batched (BENCHMARKS.md). Non-TPU backends loop the lax matcher
     (compiles per shape; fine on CPU test sizes)."""
+    import os
+
     B = len(pair_feats)
     if B == 0:
         return []
-    if jax.default_backend() != "tpu":
+    # SATBA_MATCH_BATCHED=0 escape hatch: per-pair matching through
+    # match_pair's own backend dispatch (single-pair Pallas kernel on TPU,
+    # lax matcher elsewhere)
+    if jax.default_backend() != "tpu" or os.environ.get("SATBA_MATCH_BATCHED", "1") == "0":
         out = []
         for (fi, fj), F in zip(pair_feats, pair_F):
             fi, fj = np.asarray(fi), np.asarray(fj)
