@@ -382,8 +382,23 @@ def _blur_dynamic(im, sigma, radius):
     return sum(k[t] * jax.lax.slice(im_p, (0, t), (h, t + w)) for t in range(2 * radius + 1))
 
 
-@partial(jax.jit, static_argnames=("n_octaves", "n_scales", "max_kp_per_octave"))
-def _detect_packed(im, thresh_dog, n_octaves, n_scales, max_kp_per_octave):
+def _total_slots(h, w, n_octaves, n_scales, max_kp_per_octave):
+    """Host-side twin of the slot-budget loop in _detect_packed.single:
+    total packed keypoint slots (incl. the 2x secondary orientations)."""
+    H, W = 2 * h, 2 * w
+    total = 0
+    for _o in range(n_octaves):
+        if H < 12 or W < 12:
+            break
+        total += int(min(max_kp_per_octave, max(128, (H * W) // 300)))
+        H, W = (H + 1) // 2, (W + 1) // 2
+    return 2 * total
+
+
+@partial(jax.jit, static_argnames=("n_octaves", "n_scales", "max_kp_per_octave",
+                                   "fetch_k"))
+def _detect_packed(im, thresh_dog, n_octaves, n_scales, max_kp_per_octave,
+                   fetch_k=None):
     """The FULL SIFT pyramid of a (B, H, W) image stack as one compiled
     program: seed upsample, every octave (scale space -> extrema ->
     orientation/descriptors), packed into (B, S, 4) f32 geometry
@@ -428,11 +443,17 @@ def _detect_packed(im, thresh_dog, n_octaves, n_scales, max_kp_per_octave):
                 desc_parts.append(desc.astype(jnp.uint8))
                 valid_parts.append(vv)
             delta *= 2.0
-        return (
-            jnp.concatenate(geom_parts, 0),
-            jnp.concatenate(desc_parts, 0),
-            jnp.concatenate(valid_parts, 0),
-        )
+        geom = jnp.concatenate(geom_parts, 0)
+        desc = jnp.concatenate(desc_parts, 0)
+        valid = jnp.concatenate(valid_parts, 0)
+        if fetch_k is not None and fetch_k < geom.shape[0]:
+            # device-side compaction: keep the top-k valid slots by scale
+            # (the same criterion the host cap applies) so the tunnel
+            # fetch shrinks from total_slots to the caller's max_kp
+            score = jnp.where(valid, geom[:, 2], -1.0)
+            _, sel = jax.lax.top_k(score, fetch_k)
+            geom, desc, valid = geom[sel], desc[sel], valid[sel]
+        return geom, desc, valid
 
     return jax.vmap(single)(im)
 
@@ -508,9 +529,15 @@ def detect_sift_batch(images, thresh_dog=0.0133, n_octaves=8, n_scales=3,
     # a fetch of the raw per-octave pytree is ~100 leaves at one round trip
     # each, and an f32 (S, 132) layout is ~3.7x the bytes of this one
     # (673 ms vs the ~190 ms compiled pyramid at 2000x2000)
+    fetch_k = None
+    if max_kp is not None:
+        h0, w0 = int(im.shape[1]), int(im.shape[2])
+        if max_kp < _total_slots(h0, w0, n_octaves, n_scales, max_kp_per_octave):
+            fetch_k = int(max_kp)
     geom_all, desc_all, valid_all = jax.device_get(
         _detect_packed(
-            im, jnp.float32(thresh_dog), n_octaves, n_scales, max_kp_per_octave
+            im, jnp.float32(thresh_dog), n_octaves, n_scales, max_kp_per_octave,
+            fetch_k=fetch_k,
         )
     )
     B = im.shape[0]

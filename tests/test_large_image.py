@@ -54,3 +54,26 @@ def test_detect_and_match_1024():
     )
     med = np.median(d[interior], axis=0)
     assert np.allclose(med, [shift, shift], atol=0.5)
+
+
+def test_fetch_compaction_matches_host_cap():
+    """Device-side top-k fetch compaction (max_kp < total slots) must give
+    the same keypoints as fetching everything and capping on the host."""
+    import numpy as np
+
+    from sat_bundleadjust_tpu.ops.sift import _total_slots, detect_sift_batch
+
+    im = _frame(n=200, seed=3)
+    cap = 120
+    assert cap < _total_slots(200, 200, 8, 3, 4096)
+    f_comp = detect_sift_batch([im], max_kp=cap)[0]
+    f_full = detect_sift_batch([im], max_kp=None)[0]
+    # host-side equivalent of the cap: top by scale among valid
+    f_ref = f_full[np.argsort(-f_full[:, 2], kind="stable")[:cap]]
+    assert f_comp.shape[0] == min(cap, f_full.shape[0])
+    # same keypoint set modulo scale ties at the boundary: compare as sets
+    # of (col, row, scale) rows
+    a = {tuple(np.round(r, 4)) for r in f_comp[:, :3]}
+    b = {tuple(np.round(r, 4)) for r in f_ref[:, :3]}
+    overlap = len(a & b) / max(len(b), 1)
+    assert overlap > 0.95, overlap
