@@ -169,14 +169,8 @@ def build_problem(p, schur_mode=None):
     K = p.n_obs
     dual_ok = K > 0 and (pt_table.size <= 4 * K) and (cam_table.size <= 4 * K)
     if dual_ok:
-        cam_ind_pt = np.where(
-            pt_table < K, np.asarray(p.cam_ind, np.int32)[np.minimum(pt_table, K - 1)],
-            np.int32(p.n_cam),
-        ).astype(np.int32)
-        pts_ind_cam = np.where(
-            cam_table < K, np.asarray(p.pts_ind, np.int32)[np.minimum(cam_table, K - 1)],
-            np.int32(p.n_pts),
-        ).astype(np.int32)
+        cam_ind_pt = lm_ops.gather_table_values(pt_table, p.cam_ind, K, p.n_cam)
+        pts_ind_cam = lm_ops.gather_table_values(cam_table, p.pts_ind, K, p.n_pts)
     prob = lm_ops.LMProblem(
         pts_ind=jnp.asarray(p.pts_ind),
         cam_ind=jnp.asarray(p.cam_ind),

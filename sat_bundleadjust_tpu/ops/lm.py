@@ -134,6 +134,21 @@ def build_gather_segments(ind, n_segments):
     return table
 
 
+def gather_table_values(table, values, n_valid, fill):
+    """Dual-layout index construction: map each REAL slot of a padded
+    gather table (entries < n_valid) to values[slot], sentinel slots to
+    `fill`. Used for LMProblem.cam_ind_pt / pts_ind_cam by both the
+    single-chip builder (ba/solver.build_problem) and the per-shard
+    distributed one (parallel/dist_solver.shard_observations)."""
+    table = np.asarray(table)
+    values = np.asarray(values, np.int32)
+    if len(values) == 0 or n_valid <= 0:
+        return np.full(table.shape, fill, np.int32)
+    return np.where(
+        table < n_valid, values[np.minimum(table, n_valid - 1)], np.int32(fill)
+    ).astype(np.int32)
+
+
 def _seg_sum(x, ind, n_segments, table):
     """segment_sum(x, ind) via the padded gather table when available."""
     if table is None:

@@ -161,15 +161,14 @@ def shard_observations(pts_ind, cam_ind, pts2d, weights, n_pts, n_shards, n_cam=
         # (sentinel L)
         cam_pad = pad(cam_ind, 0, np.int32)  # (n_shards, K_pad)
         tp, tc = out["pt_gather"], out["cam_gather"]
-        cam_ind_pt = np.full(tp.shape, n_cam, np.int32)
-        pts_ind_cam = np.full(tc.shape, L, np.int32)
-        for s in range(n_shards):
-            real = tp[s] < K_pad
-            cam_ind_pt[s][real] = cam_pad[s][tp[s][real]]
-            real = tc[s] < K_pad
-            pts_ind_cam[s][real] = pts_loc_rows[s][tc[s][real]]
-        out["cam_ind_pt"] = cam_ind_pt
-        out["pts_ind_cam"] = pts_ind_cam
+        out["cam_ind_pt"] = np.stack([
+            lm_ops.gather_table_values(tp[s], cam_pad[s], K_pad, n_cam)
+            for s in range(n_shards)
+        ])
+        out["pts_ind_cam"] = np.stack([
+            lm_ops.gather_table_values(tc[s], pts_loc_rows[s], K_pad, L)
+            for s in range(n_shards)
+        ])
     return out
 
 
