@@ -209,7 +209,33 @@ def bench_tracks():
     }
 
 
+def _pick_platform():
+    """The axon tunnel can wedge (device claims block forever — observed
+    after killed clients). Probe the accelerator in a SUBPROCESS with a
+    deadline; on failure fall back to CPU so the bench always reports a
+    number (the JSON unit records which platform ran). Override with
+    SATBA_BENCH_PLATFORM=cpu|default."""
+    import subprocess
+    import jax
+
+    forced = os.environ.get("SATBA_BENCH_PLATFORM")
+    if forced == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+        return
+    if forced:
+        return
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=240, check=True, capture_output=True,
+        )
+    except Exception:
+        print("accelerator probe failed; benching on CPU", file=sys.stderr)
+        jax.config.update("jax_platforms", "cpu")
+
+
 def main():
+    _pick_platform()
     import jax
     import jax.numpy as jnp
 
