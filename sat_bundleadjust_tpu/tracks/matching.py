@@ -7,11 +7,14 @@ ops/match.py instead of the native sift4ctypes matcher), the UTM
 geo-consistency elbow filter, and the npy match caching protocol.
 
 Parallelism note: the reference fans pairs out over multiprocessing.Pool /
-ray workers (ft_match.py:342-393). Here each pair is one batched kernel
-launch on a single device, and when the runtime has more than one device
-match_stereo_pairs shards the pair list over the mesh
+ray workers (ft_match.py:342-393). Here, on a single TPU chip ALL
+uncached pairs run through ONE batched kernel dispatch + one packed fetch
+(ops/match.match_pairs_2nn_batched — per-pair dispatches cost ~100 ms of
+tunnel round trips each); with more than one device match_stereo_pairs
+shards the pair list over the mesh instead
 (parallel/feature_shard.match_pairs_mesh: one pair per device per
-dispatch, host-side RANSAC/elbow finalize on the survivors)."""
+dispatch). Host-side RANSAC/elbow finalize runs on the survivors in both
+paths."""
 
 import os
 
