@@ -114,6 +114,15 @@ class Scene:
         self.reset = args.get("reset", True)
         self.remove_FT_files = args.get("remove_FT_files", False)
         self.save_figures = args.get("save_figures", True)
+        # pipeline-level extras this framework exposes at the scene/CLI level
+        # (the reference reads max_init_reproj_error only when the pipeline
+        # is constructed directly, ba_pipeline.py:94; dem_path and
+        # outlier_thr_rounding are additions of this framework)
+        self.extra_ba_config = {
+            k: args[k]
+            for k in ("max_init_reproj_error", "outlier_thr_rounding", "dem_path")
+            if k in args
+        }
 
         if not os.path.isdir(self.geotiff_dir):
             raise Error('geotiff_dir "{}" does not exist'.format(self.geotiff_dir))
@@ -278,6 +287,7 @@ class Scene:
             "clean_outliers": self.clean_outliers,
             "save_figures": self.save_figures,
         }
+        extra.update(self.extra_ba_config)
         if self.aoi_lonlat is not None:
             extra["aoi"] = self.aoi_lonlat
         self.ba_pipeline = BundleAdjustmentPipeline(self.ba_data, self.tracks_config, extra)

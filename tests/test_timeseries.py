@@ -109,3 +109,21 @@ def test_global_mode(two_date_scene):
     adj = glob.glob(os.path.join(cfg["output_dir"], "ba_global", "rpcs_adj", "*.rpc_adj"))
     assert len(adj) == 4
     assert float(np.mean(scene.ba_pipeline.ba_e)) < 0.5
+
+
+def test_scene_forwards_pipeline_extras(two_date_scene):
+    """Scene-level pipeline extras (max_init_reproj_error,
+    outlier_thr_rounding, dem_path) reach the pipeline. The reference only
+    reads max_init_reproj_error when the pipeline is constructed directly
+    (ba_pipeline.py:94); this framework exposes all three in the scene
+    JSON so they are usable from the CLI."""
+    cfg = _base_cfg(two_date_scene, "ba_bruteforce")
+    cfg["output_dir"] = cfg["output_dir"] + "_extras"
+    cfg["max_init_reproj_error"] = 25.0
+    cfg["outlier_thr_rounding"] = True
+    scene = Scene(cfg)
+    scene.run_bundle_adjustment_for_RPC_refinement()
+    assert scene.ba_pipeline.max_init_reproj_error == 25.0
+    assert scene.ba_pipeline.outlier_thr_rounding is True
+    adj = glob.glob(os.path.join(cfg["output_dir"], "ba_bruteforce", "rpcs_adj", "*.rpc_adj"))
+    assert len(adj) == 4
