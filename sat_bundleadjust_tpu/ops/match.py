@@ -40,6 +40,7 @@ def _epipolar_distance_sq(pts_i, pts_j, F):
 
 
 @partial(jax.jit, static_argnames=("block", "method"))
+@partial(jax.jit, static_argnames=("method", "block"))
 def match_descriptors_2nn(
     desc_i,
     desc_j,
@@ -92,14 +93,20 @@ def match_descriptors_2nn(
             ed = _epipolar_distance_sq(pi, pts_j.astype(jnp.float32), F.astype(jnp.float32))
             mask = mask & (ed < epipolar_thr ** 2)
         d2 = jnp.where(mask, d2, big)
-        neg_top2, idx_top2 = jax.lax.top_k(-d2, 2)
-        d1, dsecond = -neg_top2[:, 0], -neg_top2[:, 1]
+        # top-2 as two min-reductions, NOT lax.top_k: XLA lowers top_k(k=2)
+        # to a full per-row sort on CPU (~2 s at 3k x 3k) while these
+        # reduce to argmin/min scans (~50 ms); on TPU the hot path is the
+        # Pallas kernel anyway (ops/pallas_match.py)
+        idx1 = jnp.argmin(d2, axis=1)
+        d1 = jnp.take_along_axis(d2, idx1[:, None], axis=1)[:, 0]
+        cols = jnp.arange(d2.shape[1], dtype=idx1.dtype)
+        dsecond = jnp.min(jnp.where(cols[None, :] == idx1[:, None], big, d2), axis=1)
         if method == "relative":
             ok = d1 < (rel_thr ** 2) * dsecond
         else:
             ok = d1 < abs_thr ** 2
         ok = ok & (d1 < big * 0.5) & vi
-        return carry, (idx_top2[:, 0], ok, d1)
+        return carry, (idx1, ok, d1)
 
     _, (nn_idx, accepted, d1) = jax.lax.scan(
         process_block,
@@ -211,15 +218,26 @@ def match_pairs_2nn_batched(pair_feats, pair_F, rel_thr=0.6, abs_thr=250.0,
         out = []
         for (fi, fj), F in zip(pair_feats, pair_F):
             fi, fj = np.asarray(fi), np.asarray(fj)
+            ki, kj = fi.shape[0], fj.shape[0]
+            # bucket-pad the keypoint counts (invalid filler) so the jitted
+            # matcher compiles once per size bucket, not once per pair —
+            # per-pair shapes caused a compile per pair on CPU (~2 s/pair
+            # where the compiled kernel itself runs in ~60 ms)
+            pi = -(-max(ki, 1) // 256) * 256 - ki
+            pj = -(-max(kj, 1) // 512) * 512 - kj
+            fi_p = np.pad(fi, ((0, pi), (0, 0)), constant_values=np.nan)
+            fj_p = np.pad(fj, ((0, pj), (0, 0)), constant_values=np.nan)
             nn, acc, _ = match_descriptors_2nn(
-                jnp.asarray(fi[:, 4:]), jnp.asarray(fj[:, 4:]),
-                jnp.asarray(fi[:, :2]), jnp.asarray(fj[:, :2]),
-                jnp.asarray(~np.isnan(fi[:, 0])), jnp.asarray(~np.isnan(fj[:, 0])),
+                jnp.asarray(np.nan_to_num(fi_p[:, 4:])),
+                jnp.asarray(np.nan_to_num(fj_p[:, 4:])),
+                jnp.asarray(np.nan_to_num(fi_p[:, :2])),
+                jnp.asarray(np.nan_to_num(fj_p[:, :2])),
+                jnp.asarray(~np.isnan(fi_p[:, 0])), jnp.asarray(~np.isnan(fj_p[:, 0])),
                 F=None if F is None else jnp.asarray(F),
                 rel_thr=rel_thr, abs_thr=abs_thr,
                 epipolar_thr=epipolar_thr, method=method,
             )
-            out.append((np.asarray(nn), np.asarray(acc)))
+            out.append((np.asarray(nn)[:ki], np.asarray(acc)[:ki]))
         return out
 
     from sat_bundleadjust_tpu.ops.pallas_match import pallas_2nn_batched

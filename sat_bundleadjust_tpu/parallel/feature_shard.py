@@ -71,14 +71,20 @@ def _batched_2nn(desc_i, desc_j, pts_i, pts_j, valid_i, valid_j, F, use_F,
             ed = _epipolar_distance_sq(pib, pj.astype(jnp.float32), Fp.astype(jnp.float32))
             gate = (ed < epipolar_thr ** 2) | ~useF
             d2 = jnp.where(mask & gate, d2, big)
-            neg_top2, idx_top2 = jax.lax.top_k(-d2, 2)
-            d1, dsecond = -neg_top2[:, 0], -neg_top2[:, 1]
+            # two min-reductions instead of lax.top_k(k=2): XLA lowers the
+            # latter to a full per-row sort on CPU (see ops/match.py)
+            idx1 = jnp.argmin(d2, axis=1)
+            d1 = jnp.take_along_axis(d2, idx1[:, None], axis=1)[:, 0]
+            cols = jnp.arange(d2.shape[1], dtype=idx1.dtype)
+            dsecond = jnp.min(
+                jnp.where(cols[None, :] == idx1[:, None], big, d2), axis=1
+            )
             if method == "relative":
                 ok = d1 < (rel_thr ** 2) * dsecond
             else:
                 ok = d1 < abs_thr ** 2
             ok = ok & (d1 < big * 0.5) & vib
-            return carry, (idx_top2[:, 0], ok)
+            return carry, (idx1, ok)
 
         _, (nn_idx, accepted) = jax.lax.scan(
             process_block, None,
