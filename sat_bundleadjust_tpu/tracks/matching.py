@@ -281,16 +281,18 @@ def match_stereo_pairs(pairs_to_match, features, footprints, utm_coords, tracks_
         mesh = default_mesh_or_none()
     import jax
 
-    single_tpu = mesh is None and jax.default_backend() == "tpu"
-    if (mesh is not None or single_tpu) and mesh_ok and len(to_match) >= 2:
+    use_mesh = mesh is not None and len(to_match) >= 2
+    if mesh_ok and len(to_match) >= 1:
         pair_F = [
             None if method_cfg in ("bruteforce", "flann") else F[idx]
             for (idx, *_rest) in to_match
         ]
-        if single_tpu:
+        if not use_mesh:
             # one batched Pallas dispatch + one packed fetch for ALL pairs
-            # (a tunneled chip pays ~100 ms of round trips per per-pair
-            # launch; see ops/match.match_pairs_2nn_batched)
+            # on a single TPU (a tunneled chip pays ~100 ms of round trips
+            # per per-pair launch); on other backends the same entry point
+            # loops the jitted lax matcher with bucket-padded shapes so
+            # pairs share compilations (ops/match.match_pairs_2nn_batched)
             from sat_bundleadjust_tpu.ops.match import match_pairs_2nn_batched
 
             method = "absolute" if method_cfg == "absolute" else "relative"
