@@ -162,3 +162,46 @@ def test_full_pipeline(synthetic_scene_dir):
     # R-only corrective rotations approximate the injected image-space
     # biases; expect a solid (but not total) consistency improvement
     assert err_adj < 0.7 * err_biased, (err_biased, err_adj)
+
+
+@pytest.mark.parametrize("cam_model", ["affine", "perspective"])
+def test_full_pipeline_matrix_models(synthetic_scene_dir, cam_model):
+    """Full pipeline with the matrix camera models (reference:
+    ba_pipeline.py:207-217 approximation branch + the P_adj outputs and
+    the fit_rpc_from_projection_matrix refit, ba_pipeline.py:379-416)."""
+    import sat_bundleadjust_tpu
+
+    out_dir = os.path.join(synthetic_scene_dir["root"], "outdir_" + cam_model)
+    cfg = {
+        "geotiff_dir": synthetic_scene_dir["img_dir"],
+        "rpc_dir": synthetic_scene_dir["img_dir"],
+        "rpc_src": "txt",
+        "cam_model": cam_model,
+        "output_dir": out_dir,
+        "ba_method": "ba_bruteforce",
+        "FT_kp_max": 3000,
+        "FT_sift_detection": "tpu",
+        "FT_sift_matching": "bruteforce",
+        "clean_outliers": True,
+        "save_figures": False,
+    }
+    cfg_path = os.path.join(synthetic_scene_dir["root"], "config_" + cam_model + ".json")
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+
+    scene = sat_bundleadjust_tpu.main(cfg_path)
+
+    # adjusted projection matrices AND refitted RPCs for every camera
+    adj_P = sorted(glob.glob(os.path.join(out_dir, "ba_bruteforce", "P_adj", "*.json")))
+    adj_rpc = sorted(glob.glob(os.path.join(out_dir, "ba_bruteforce", "rpcs_adj", "*.rpc_adj")))
+    assert len(adj_P) == 4 and len(adj_rpc) == 4
+
+    ba_e = float(np.mean(scene.ba_pipeline.ba_e))
+    init_e = float(np.mean(scene.ba_pipeline.init_e))
+    # the matrix approximations of biased RPCs carry the inconsistency;
+    # BA must reduce it substantially
+    assert ba_e < 0.6 * init_e, (init_e, ba_e)
+    # refitted RPCs re-read and project finitely over the footprint
+    r = rpc_from_rpc_file(adj_rpc[0])
+    c, rr = r.projection(jnp.asarray([-72.71]), jnp.asarray([11.02]), jnp.asarray([50.0]))
+    assert np.isfinite(float(c[0])) and np.isfinite(float(rr[0]))
