@@ -141,3 +141,51 @@ def test_outlier_rounding_parity_mode():
     assert p_round.pts2d.shape[0] < scene["C"].shape[1] * 4
     rel = abs(p_exact.pts2d.shape[0] - p_round.pts2d.shape[0])
     assert rel <= 0.1 * p_exact.pts2d.shape[0] + 10
+
+
+def test_aoi_masked_detection(option_scene):
+    """aoi_geojson + FT_kp_aoi: detection restricted to the AOI polygon
+    (reference: ft_pipeline.py:59-71 mask precompute +
+    loader.get_binary_mask_from_aoi_lonlat_within_image)."""
+    import json as _json
+
+    from sat_bundleadjust_tpu.timeseries import Scene
+
+    lon0, lat0, s = -72.71, 11.02, 0.02
+    aoi = {
+        "type": "Polygon",
+        "coordinates": [[
+            [lon0 - s, lat0 - s], [lon0 + s, lat0 - s],
+            [lon0 + s, lat0 + s], [lon0 - s, lat0 + s],
+            [lon0 - s, lat0 - s],
+        ]],
+    }
+    root = option_scene["root"]
+    aoi_path = os.path.join(root, "aoi.json")
+    with open(aoi_path, "w") as f:
+        _json.dump(aoi, f)
+    out_dir = os.path.join(root, "out_aoi")
+    cfg = {
+        "geotiff_dir": os.path.join(root, "images"),
+        "rpc_dir": os.path.join(root, "images"),
+        "rpc_src": "txt",
+        "cam_model": "rpc",
+        "output_dir": out_dir,
+        "ba_method": "ba_bruteforce",
+        "aoi_geojson": aoi_path,
+        "FT_kp_aoi": True,
+        "FT_kp_max": 1500,
+        "FT_sift_detection": "tpu",
+        "FT_sift_matching": "bruteforce",
+        "save_figures": False,
+    }
+    scene = Scene(cfg)
+    scene.run_bundle_adjustment_for_RPC_refinement()
+    adj = glob.glob(os.path.join(out_dir, "ba_bruteforce", "rpcs_adj", "*.rpc_adj"))
+    assert len(adj) == 4
+    masks = glob.glob(os.path.join(out_dir, "ba_bruteforce", "matches", "masks", "*.npy"))
+    assert len(masks) == 4
+    # masks actually restrict: each has both masked and unmasked pixels
+    for m in masks:
+        arr = np.load(m)
+        assert arr.any()

@@ -127,3 +127,24 @@ def test_scene_forwards_pipeline_extras(two_date_scene):
     assert scene.ba_pipeline.outlier_thr_rounding is True
     adj = glob.glob(os.path.join(cfg["output_dir"], "ba_bruteforce", "rpcs_adj", "*.rpc_adj"))
     assert len(adj) == 4
+
+
+def test_scene_timeline_indices_and_label(two_date_scene):
+    """timeline_indices restricts the adjusted dates; geotiff_label filters
+    the loaded frames (reference: ba_timeseries.py load_scene + selected
+    timeline handling)."""
+    cfg = _base_cfg(two_date_scene, "ba_bruteforce")
+    cfg["output_dir"] = cfg["output_dir"] + "_tl"
+    cfg["timeline_indices"] = [0]
+    scene = Scene(cfg)
+    assert len(scene.timeline) == 2
+    scene.run_bundle_adjustment_for_RPC_refinement()
+    adj = glob.glob(os.path.join(cfg["output_dir"], "ba_bruteforce", "rpcs_adj", "*.rpc_adj"))
+    assert len(adj) == 2  # only date 0's two frames
+
+    cfg2 = _base_cfg(two_date_scene, "ba_bruteforce")
+    cfg2["output_dir"] = cfg2["output_dir"] + "_label"
+    cfg2["geotiff_label"] = "cam3"
+    scene2 = Scene(cfg2)
+    assert len(scene2.timeline) == 1
+    assert sum(len(t["fnames"]) for t in scene2.timeline) == 1
