@@ -121,3 +121,35 @@ def test_select_best_tracks_reduces_count():
     sub = C[:, S]
     obs_per_cam = np.sum(~np.isnan(sub[::2]), axis=1)
     assert np.all(obs_per_cam > 0)
+
+
+def test_select_best_tracks_sensor_aware():
+    """SkySat d1/d2/d3 split selection (reference: ft_ranking.py:292-316):
+    the union contains per-sensor selections plus the global one."""
+    from types import SimpleNamespace
+
+    from sat_bundleadjust_tpu.tracks.ranking import select_best_tracks_sensor_aware
+
+    rng = np.random.RandomState(1)
+    n_cam, n_tracks = 6, 150
+    C = np.full((2 * n_cam, n_tracks), np.nan)
+    for t in range(n_tracks):
+        cams = rng.choice(n_cam, rng.randint(2, n_cam + 1), replace=False)
+        for c in cams:
+            C[2 * c, t] = rng.uniform(0, 100)
+            C[2 * c + 1, t] = rng.uniform(0, 100)
+    C_scale = np.where(~np.isnan(C[::2]), rng.uniform(1, 4, (n_cam, n_tracks)), np.nan)
+    C_reproj = np.where(~np.isnan(C[::2]), rng.uniform(0, 1, (n_cam, n_tracks)), np.nan)
+    # cameras 0-2 from sensor d1, 3-5 from d2 (SkySat-style ids)
+    images = [
+        SimpleNamespace(geotiff_path="20200413_ssc4{}_{:04d}.tif".format(
+            "d1_" if i < 3 else "d2_", i))
+        for i in range(n_cam)
+    ]
+    S_aware = select_best_tracks_sensor_aware(images, C, C_scale, C_reproj, K=2)
+    S_global = select_best_tracks(C, C_scale, C_reproj, K=2)
+    assert 0 < len(S_aware) < n_tracks
+    # the union is a superset of the global selection
+    assert set(S_global).issubset(set(S_aware))
+    # and includes tracks chosen for each sensor subset
+    assert len(S_aware) >= len(S_global)
