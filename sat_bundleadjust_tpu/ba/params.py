@@ -138,13 +138,30 @@ class BAParams:
         # how many per-camera parameters are optimized
         # (reference: ba_params.py:151-171)
         n_params = 0
+        self.n_params_k = 0
         if "R" in self.cam_params_to_optimize:
             n_params += 3
             if "T" in self.cam_params_to_optimize:
                 n_params += 2 if cam_model == "affine" else 3
                 if "K" in self.cam_params_to_optimize:
-                    n_params += 3 if cam_model == "affine" else 5
+                    self.n_params_k = 3 if cam_model == "affine" else 5
+                    n_params += self.n_params_k
         self.n_params = n_params
+        # COMMON_K: one K shared by all cameras (reference:
+        # ba_params.py:167-171 extracts camera 0's K as the shared block).
+        # Here the K stays in each camera's parameter row, seeded from
+        # camera 0 and kept equal by the solver's tied-tail projection
+        # (ops/lm.LMConfig.tie_tail). Deviation: the reference broadcasts
+        # the shared K onto FIXED cameras too and lets their observations
+        # drive its gradient (ba_params.py:253-255); here frozen cameras
+        # keep their own (identically seeded) K and do not contribute —
+        # "fixed" stays fixed. Differs only when n_cam_fix > 0.
+        self.common_k = (
+            self.n_params_k > 0 and "COMMON_K" in self.cam_params_to_optimize
+        )
+        if self.common_k:
+            k0, k1 = self.n_params - self.n_params_k, self.n_params
+            self.cam_params[:, k0:k1] = self.cam_params[0, k0:k1]
 
         # frozen-entity masks (first n_cam_fix cameras / n_pts_fix points)
         self.cam_opt_mask = np.ones(self.n_cam)

@@ -229,7 +229,8 @@ class BASolver:
             max_iter=int(ls["max_iter"]),
             ftol=float(ls["ftol"]),
             xtol=float(ls["xtol"]),
-            schur_mode=self.mode,
+            schur_mode="cg" if getattr(self.p, "common_k", False) else self.mode,
+            tie_tail=self.p.n_params_k if getattr(self.p, "common_k", False) else 0,
         )
         cam0 = jnp.asarray(self.p.opt_block())
         pts0 = jnp.asarray(self.p.pts3d)

@@ -92,6 +92,13 @@ class LMConfig(NamedTuple):
     cg_iters: int = 0
     # forcing term: CG also stops at ||r|| <= cg_rtol * ||b||
     cg_rtol: float = 1e-1
+    # COMMON_K (reference: ba_params.py:167-171): number of TRAILING
+    # per-camera parameters tied to one shared value across all
+    # optimizable cameras. Solved by projected CG (null-space method): the
+    # orthogonal projector P averaging the tied block turns the Schur CG
+    # into CG on P S P, whose subspace solution equals the tied-parameter
+    # normal equations E^T S E y = E^T b. 0 = no tying.
+    tie_tail: int = 0
 
 
 def build_intra_track_pairs(pts_ind, n_pts):
@@ -301,7 +308,7 @@ def _dense_mxu_schur_solve(U_d, W, Vinv, b, prob: LMProblem, n_cam, cam_opt_mask
 
 
 def _cg_schur_solve(U_d, W, Vinv, b, prob: LMProblem, n_cam, cam_opt_mask, cg_iters,
-                    psum_axis=None, cg_rtol=1e-2):
+                    psum_axis=None, cg_rtol=1e-2, tie_tail=0):
     """Matrix-free CG on the Schur complement, in float32.
 
     matvec(x) = U x - W V^-1 W^T x via gathers + segment sums. When
@@ -382,12 +389,31 @@ def _cg_schur_solve(U_d, W, Vinv, b, prob: LMProblem, n_cam, cam_opt_mask, cg_it
         (S_diag + jnp.eye(P) * 1e-12).astype(jnp.float32)
     ).astype(U_d.dtype)
 
-    def apply_prec(v):
-        return sm.mv(prec, v) * m + v * (1.0 - m)
+    if tie_tail:
+        # COMMON_K projector: average the trailing tie_tail parameters over
+        # the optimizable cameras and broadcast back (frozen cameras keep
+        # their masked-out zeros). Applied to b, every matvec result and
+        # every preconditioner application, this runs CG on P S P — the
+        # null-space method for the shared-K parameterization.
+        t = tie_tail
+        msum = jnp.maximum(jnp.sum(m), 1.0)
 
-    b = b * m
+        def proj(x):
+            shared = jnp.sum(x[:, P - t :] * m, axis=0) / msum
+            tied = jnp.broadcast_to(shared[None, :], (x.shape[0], t))
+            tail = tied * m + x[:, P - t :] * (1.0 - m)
+            return jnp.concatenate([x[:, : P - t], tail], axis=1)
+
+    else:
+        def proj(x):
+            return x
+
+    def apply_prec(v):
+        return proj(sm.mv(prec, proj(v)) * m + v * (1.0 - m))
+
+    b = proj(b * m)
     x = jnp.zeros_like(b)
-    r = b - matvec(x)
+    r = b - proj(matvec(x))
     z = apply_prec(r)
     p = z
     rz = jnp.sum(r * z)
@@ -400,7 +426,7 @@ def _cg_schur_solve(U_d, W, Vinv, b, prob: LMProblem, n_cam, cam_opt_mask, cg_it
 
     def body(state):
         x, r, p, rz, it = state
-        Ap = matvec(p)
+        Ap = proj(matvec(p))
         denom = jnp.sum(p * Ap)
         alpha = rz / jnp.where(jnp.abs(denom) < 1e-30, 1.0, denom)
         x = x + alpha * p
@@ -440,7 +466,7 @@ def lm_step(r, J_cam, J_pt, lam, prob: LMProblem, n_cam, n_pts, cfg: LMConfig,
         b = jax.lax.psum(b + g_cam, psum_axis) - g_cam
 
     cmask = prob.cam_opt_mask.astype(dt)
-    if cfg.schur_mode == "dense" and psum_axis is None:
+    if cfg.schur_mode == "dense" and psum_axis is None and not cfg.tie_tail:
         if prob.obs_at is not None:
             dcam = _dense_mxu_schur_solve(U_d, W, Vinv, b, prob, n_cam, cmask)
         else:
@@ -449,7 +475,7 @@ def lm_step(r, J_cam, J_pt, lam, prob: LMProblem, n_cam, n_pts, cfg: LMConfig,
         dcam = _cg_schur_solve(
             U_d, W, Vinv, b, prob, n_cam, cmask,
             cfg.cg_iters or max(15, min(60, n_cam // 2)), psum_axis,
-            cg_rtol=cfg.cg_rtol,
+            cg_rtol=cfg.cg_rtol, tie_tail=cfg.tie_tail,
         )
 
     # back-substitute tie points: dp = -V^-1 (g_pt + W^T dcam)

@@ -437,6 +437,7 @@ def run_distributed_ba(p, ls_params=None, mesh=None):
     cfg = lm_ops.LMConfig(
         loss=ls["loss"], f_scale=float(ls["f_scale"]), max_iter=int(ls["max_iter"]),
         ftol=float(ls["ftol"]), xtol=float(ls["xtol"]), schur_mode="cg",
+        tie_tail=p.n_params_k if getattr(p, "common_k", False) else 0,
     )
     mesh = mesh if mesh is not None else make_mesh()
     sharded = shard_observations(
