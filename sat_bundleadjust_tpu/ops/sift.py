@@ -390,7 +390,7 @@ def _total_slots(h, w, n_octaves, n_scales, max_kp_per_octave):
     for _o in range(n_octaves):
         if H < 12 or W < 12:
             break
-        total += int(min(max_kp_per_octave, max(128, (H * W) // 300)))
+        total += int(min(max_kp_per_octave, max(192, (H * W) // 128)))
         H, W = (H + 1) // 2, (W + 1) // 2
     return 2 * total
 
@@ -425,10 +425,14 @@ def _detect_packed(im, thresh_dog, n_octaves, n_scales, max_kp_per_octave,
             H, W = current.shape
             if H < 12 or W < 12:
                 break
-            # keypoint slot capacity scaled to the octave area: natural DoG
-            # extrema density is well below 1/300 px, so this keeps the
-            # strongest responses while bounding the descriptor work
-            slots = int(min(max_kp_per_octave, max(128, (H * W) // 300)))
+            # keypoint slot capacity scaled to the octave area. 1/128 px:
+            # measured DoG extrema density on textured frames reaches
+            # ~1/130 px at thresh 0.0133 (the earlier 1/300 estimate
+            # silently truncated half the mid-octave keypoints the
+            # reference SIMD SIFT finds — caught by
+            # tests/test_native_ref_parity.py). Megapixel octaves still
+            # cap at max_kp_per_octave, so large-frame memory is unchanged.
+            slots = int(min(max_kp_per_octave, max(192, (H * W) // 128)))
             kp, (th, de, th2, de2, v2), current = _process_octave_impl(
                 current, sig_inc, thresh_dog, n_scales, slots
             )

@@ -71,7 +71,22 @@ def rpc_triangulation(rpc_a: RPCModel, rpc_b: RPCModel, pts_a, pts_b):
     h0 = jnp.zeros_like(xa)
     err0 = jnp.zeros_like(xa)
     done0 = jnp.zeros_like(xa, dtype=bool)
-    h, err, _ = jax.lax.fori_loop(0, RPCH_ITERS, body, (h0, err0, done0))
+
+    # batch-wide early exit: the reference C loop exits per point as soon
+    # as |lambda| < 1e-5 (rpc.c:505-508, typical ~5 iterations); a fixed
+    # trip count pays all RPCH_ITERS for every batch. Stopping when EVERY
+    # lane is frozen keeps identical results (converged lanes are masked)
+    # at ~4x less work.
+    def cond(state):
+        i, _, _, done = state
+        return (i < RPCH_ITERS) & ~jnp.all(done)
+
+    def wbody(state):
+        i, h, err, done = state
+        h, err, done = body(i, (h, err, done))
+        return i + 1, h, err, done
+
+    _, h, err, _ = jax.lax.while_loop(cond, wbody, (0, h0, err0, done0))
 
     lon, lat = rpc_localization(rpc_a, xa, ya, h)
     x, y, z = ellipsoid.latlon_to_ecef(lat, lon, h)
