@@ -56,6 +56,30 @@ def test_sift_shift_repeatability():
     assert np.mean(good) > 0.8, np.mean(good)
 
 
+def test_adaptive_detection_identical_to_monolithic(monkeypatch):
+    """The content-adaptive two-phase detector (pyramid+extrema program,
+    count fetch, bucketed descriptor program) must produce exactly the
+    same keypoints as the single monolithic program: buckets are always
+    >= the valid count, so compaction never drops a keypoint."""
+    im = make_texture(seed=2)
+    monkeypatch.setenv("SATBA_SIFT_ADAPTIVE", "0")
+    f_mono = detect_sift(im)
+    monkeypatch.setenv("SATBA_SIFT_ADAPTIVE", "1")
+    f_ad = detect_sift(im)
+    assert f_mono.shape == f_ad.shape
+    a = f_mono[np.lexsort(f_mono[:, :3].T)]
+    b = f_ad[np.lexsort(f_ad[:, :3].T)]
+    assert np.array_equal(a, b)
+    # the capped-fetch path too
+    f_cap_m = detect_sift(im, max_kp=200)
+    monkeypatch.setenv("SATBA_SIFT_ADAPTIVE", "0")
+    f_cap_a = detect_sift(im, max_kp=200)
+    assert f_cap_m.shape == f_cap_a.shape == (200, 132)
+    a = f_cap_m[np.lexsort(f_cap_m[:, :3].T)]
+    b = f_cap_a[np.lexsort(f_cap_a[:, :3].T)]
+    assert np.array_equal(a, b)
+
+
 def test_match_pair_against_opencv_sift():
     """Our matcher must recover correspondences between cv2-SIFT keypoint
     sets as well (backend interop)."""
