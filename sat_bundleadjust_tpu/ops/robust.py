@@ -28,6 +28,9 @@ def loss_scale(loss: str, r, f_scale: float):
     if loss == "cauchy":
         # rho0(z) = ln(1+z); rho0'(z) = 1/(1+z)
         return (1.0 + z) ** -0.5
+    if loss == "arctan":
+        # rho0(z) = arctan(z); rho0'(z) = 1/(1+z^2)
+        return (1.0 + z ** 2) ** -0.5
     raise ValueError("unknown loss {}".format(loss))
 
 
@@ -42,6 +45,8 @@ def loss_cost(loss: str, r, f_scale: float):
         rho = jnp.where(z <= 1.0, z, 2.0 * jnp.sqrt(jnp.maximum(z, 1.0)) - 1.0)
     elif loss == "cauchy":
         rho = jnp.log1p(z)
+    elif loss == "arctan":
+        rho = jnp.arctan(z)
     else:
         raise ValueError("unknown loss {}".format(loss))
     return 0.5 * (f_scale ** 2) * jnp.sum(rho)
