@@ -30,6 +30,14 @@ def main():
     from sat_bundleadjust_tpu.utils.io import load_dict_from_json
 
     enable_persistent_cache()
+    # multi-host deployments: wire this process into the global JAX runtime
+    # before any backend use (no-op unless SATBA_COORDINATOR /
+    # SATBA_NUM_PROCESSES are set or a TPU pod is auto-detected); the scene
+    # then runs the SAME script on every host and the `distributed` config
+    # knob routes the solve over the global mesh (docs/CONFIG.md)
+    from sat_bundleadjust_tpu.parallel import multihost
+
+    multihost.initialize()
     cfg = load_dict_from_json(args.config)
 
     import sat_bundleadjust_tpu
@@ -41,9 +49,14 @@ def main():
         return
 
     if not args.verbose:
+        import jax
+
         out_dir = cfg["output_dir"]
         os.makedirs(out_dir, exist_ok=True)
-        log_path = os.path.join(out_dir, "bundle_adjust.log")
+        # one log per process (process 0 keeps the reference's name)
+        pid = jax.process_index()
+        log_name = "bundle_adjust.log" if pid == 0 else "bundle_adjust.p{}.log".format(pid)
+        log_path = os.path.join(out_dir, log_name)
         print("Running bundle adjustment; log at {}".format(log_path))
         log_file = open(log_path, "w")
         sys.stdout = log_file

@@ -13,8 +13,27 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 OBS_AXIS = "obs"
 
+# process-wide default-mesh override: lets an orchestrator (the pipeline's
+# `distributed` knob, the driver dry run) pin every mesh-capable stage to one
+# explicit device set instead of whatever jax.devices() reports first
+_MESH_OVERRIDE = None
+
+
+def set_default_mesh(mesh):
+    """Pin (or clear, with None) the mesh used by mesh-capable stages that
+    were not handed one explicitly (feature_shard.default_mesh_or_none,
+    dist_solver.run_distributed_ba)."""
+    global _MESH_OVERRIDE
+    _MESH_OVERRIDE = mesh
+
+
+def get_default_mesh():
+    return _MESH_OVERRIDE
+
 
 def make_mesh(n_devices=None, devices=None):
+    if devices is None and n_devices is None and _MESH_OVERRIDE is not None:
+        return _MESH_OVERRIDE
     """1-D mesh over the available devices (axis name "obs")."""
     if devices is None:
         devices = jax.devices()

@@ -50,6 +50,44 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None,
     )
 
 
+def is_main_process():
+    """True on the process that should own shared-filesystem outputs
+    (adjusted RPCs, figures, logs). Every process computes the same results
+    (SPMD), so gating writes on one process only avoids write races."""
+    return jax.process_index() == 0
+
+
+def barrier(name="satba"):
+    """Block until every process reaches this point (no-op single-process).
+
+    Used to sequence per-host file IO through a shared filesystem: e.g.
+    all hosts finish writing their own feature npy caches before any host
+    reads another host's files — the reference's Pool.join() analog
+    (ft_s2p.py:119-124)."""
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)
+
+
+def partition_by_process(n_items, mesh=None):
+    """Indices of the items (images / stereo pairs) THIS process should
+    load and compute. Items are dealt round-robin over the mesh's device
+    rows and owned through local_shard_ids, so item ownership follows the
+    observation-shard layout (per-host IO, SURVEY.md section 5.8: host-side
+    data loading stays per-host)."""
+    if jax.process_count() == 1:
+        return list(range(n_items))
+    if mesh is None:
+        from sat_bundleadjust_tpu.parallel.mesh import get_default_mesh, make_mesh
+
+        mesh = get_default_mesh() or make_mesh()
+    own_rows = set(local_shard_ids(mesh))
+    n_rows = int(mesh.devices.size)
+    return [i for i in range(n_items) if (i % n_rows) in own_rows]
+
+
 def local_shard_ids(mesh):
     """Indices along the mesh's leading ("obs") axis whose devices belong to
     this process — i.e. which observation shards this host must load."""

@@ -62,6 +62,20 @@ class BundleAdjustmentPipeline:
         self.outlier_thr_rounding = extra_ba_config.get("outlier_thr_rounding", False)
         self.max_init_reproj_error = extra_ba_config.get("max_init_reproj_error", None)
         self.save_figures = extra_ba_config.get("save_figures", True)
+        # distributed execution knob (reachable from the scene JSON, like the
+        # reference's FT_n_proc, ft_utils.py:316): True / False / "auto".
+        # "auto" = mesh execution when the deployment is multi-process, or
+        # when >1 device is visible and the problem is large enough to
+        # amortize mesh dispatch. See docs/CONFIG.md.
+        self.distributed = extra_ba_config.get("distributed", "auto")
+        self.mesh = extra_ba_config.get("mesh", None)
+        if self.distributed is True or self.mesh is not None:
+            from sat_bundleadjust_tpu.parallel import mesh as mesh_lib
+
+            if self.mesh is None:
+                self.mesh = mesh_lib.make_mesh()
+            # feature stages + solver follow the same device set
+            mesh_lib.set_default_mesh(self.mesh)
         # terrain altitude source: a DEM geotiff path (or srtm4 when that
         # package is installed — the reference's source, ba_pipeline.py:166)
         self.dem_path = extra_ba_config.get("dem_path", None)
@@ -105,12 +119,18 @@ class BundleAdjustmentPipeline:
         self.corrected_pts3d = None
         self.global_transform = None
 
-        # save initial rpcs (reference: ba_pipeline.py:153-156)
-        init_rpc_dir = os.path.join(self.out_dir, "rpcs")
-        init_rpc_paths = [
-            "{}/{}.rpc".format(init_rpc_dir, loader.get_id(im.geotiff_path)) for im in self.images
-        ]
-        loader.save_rpcs(init_rpc_paths, [im.rpc for im in self.images])
+        # save initial rpcs (reference: ba_pipeline.py:153-156); in a
+        # multi-process deployment every process computes identical outputs,
+        # so only one writes them (shared filesystem, no write races)
+        from sat_bundleadjust_tpu.parallel import multihost
+
+        if multihost.is_main_process():
+            init_rpc_dir = os.path.join(self.out_dir, "rpcs")
+            init_rpc_paths = [
+                "{}/{}.rpc".format(init_rpc_dir, loader.get_id(im.geotiff_path)) for im in self.images
+            ]
+            loader.save_rpcs(init_rpc_paths, [im.rpc for im in self.images])
+        multihost.barrier("init_rpcs")
 
     # ------------------------------------------------------------------
     # setup
@@ -261,18 +281,48 @@ class BundleAdjustmentPipeline:
             self.pairs_to_triangulate, cam_centers, d,
         )
 
+    def _distributed_solve(self, n_obs):
+        """Resolve the `distributed` knob for a problem of n_obs
+        observations. Multi-process deployments always solve on the global
+        mesh (a single-device solve there would only see local shards);
+        single-process "auto" requires >1 device and enough observations
+        that sharding beats one-device batching."""
+        import jax
+
+        if self.distributed is True:
+            return True
+        if self.distributed is False:
+            return False
+        if jax.process_count() > 1:
+            return True
+        return len(jax.devices()) > 1 and n_obs >= 20000
+
+    def _run_ba(self, ls_params, verbose=True):
+        """Route one BA round through the single-device or the mesh solver
+        (parallel/dist_solver.run_ba_optimization_distributed); both return
+        the same (vars_init, vars_ba, err_init, err_ba, iters) contract."""
+        if self._distributed_solve(self.ba_params.n_obs):
+            from sat_bundleadjust_tpu.parallel.dist_solver import (
+                run_ba_optimization_distributed,
+            )
+
+            return run_ba_optimization_distributed(
+                self.ba_params, ls_params, verbose=verbose, mesh=self.mesh
+            )
+        return run_ba_optimization(self.ba_params, ls_params, verbose=verbose)
+
     def run_ba_softL1(self):
         """Reference: ba_pipeline.py:326-333."""
         ls_params_L1 = {"loss": "soft_l1", "f_scale": 1.0, "max_iter": 300}
-        _, self.ba_sol, self.init_e, self.ba_e, iters = run_ba_optimization(
-            self.ba_params, ls_params_L1, verbose=True
+        _, self.ba_sol, self.init_e, self.ba_e, iters = self._run_ba(
+            ls_params_L1, verbose=True
         )
         self.ba_iters += iters
 
     def run_ba_L2(self):
         """Reference: ba_pipeline.py:335-341."""
-        _, self.ba_sol, self.init_e, self.ba_e, iters = run_ba_optimization(
-            self.ba_params, None, verbose=True
+        _, self.ba_sol, self.init_e, self.ba_e, iters = self._run_ba(
+            None, verbose=True
         )
         self.ba_iters += iters
 
@@ -293,7 +343,7 @@ class BundleAdjustmentPipeline:
         """Reference: ba_pipeline.py:569-604."""
         print("\nAll observations with initial reprojection error higher than {} will be rejected !".format(thr))
         self.define_ba_parameters(verbose=False)
-        _, _, _, ba_e, _ = run_ba_optimization(self.ba_params, {"max_iter": 1, "verbose": 0})
+        _, _, _, ba_e, _ = self._run_ba({"max_iter": 1, "verbose": 0}, verbose=False)
         p = ba_outliers.rm_outliers(ba_e, self.ba_params, predef_thr=thr, verbose=False)
         if p.C.shape[0] != self.C.shape[0]:
             raise Error("At least one camera was lost, there might be something wrong with the input images")
@@ -589,14 +639,21 @@ class BundleAdjustmentPipeline:
             self.correct_drift_object_space()
         else:
             self.global_transform = None
-        self.save_corrected_points()
-        self.save_estimated_params()
-        self.save_corrected_cameras()
+        # output phase: one writer in multi-process deployments; the barrier
+        # makes the adjusted RPCs visible to every host before e.g. the
+        # sequential driver's next date resumes from them
+        from sat_bundleadjust_tpu.parallel import multihost
 
-        if self.save_figures:
-            loader.save_geojson(os.path.join(self.out_dir, "AOI.json"), self.aoi)
-            self.save_feature_tracks()
-            self.save_debug_figures()
+        if multihost.is_main_process():
+            self.save_corrected_points()
+            self.save_estimated_params()
+            self.save_corrected_cameras()
+
+            if self.save_figures:
+                loader.save_geojson(os.path.join(self.out_dir, "AOI.json"), self.aoi)
+                self.save_feature_tracks()
+                self.save_debug_figures()
+        multihost.barrier("pipeline_outputs")
 
         pipeline_time = loader.get_time_in_hours_mins_secs(timeit.default_timer() - pipeline_start)
         flush_print("\nBundle adjustment pipeline completed in {}\n".format(pipeline_time))

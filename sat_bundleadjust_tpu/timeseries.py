@@ -120,7 +120,12 @@ class Scene:
         # outlier_thr_rounding are additions of this framework)
         self.extra_ba_config = {
             k: args[k]
-            for k in ("max_init_reproj_error", "outlier_thr_rounding", "dem_path")
+            for k in (
+                "max_init_reproj_error",
+                "outlier_thr_rounding",
+                "dem_path",
+                "distributed",  # mesh execution knob (docs/CONFIG.md)
+            )
             if k in args
         }
 
@@ -189,7 +194,11 @@ class Scene:
 
         init_rpcs_dir = os.path.join(self.dst_dir, "rpcs_init")
         rpc_fnames = ["{}/{}.rpc".format(init_rpcs_dir, loader.get_id(fn)) for fn in all_fnames]
-        loader.save_rpcs(rpc_fnames, all_rpcs)
+        from sat_bundleadjust_tpu.parallel import multihost
+
+        if multihost.is_main_process():
+            loader.save_rpcs(rpc_fnames, all_rpcs)
+        multihost.barrier("rpcs_init")
 
         return group_files_by_date(all_datetimes, all_fnames)
 
@@ -300,13 +309,20 @@ class Scene:
         return elapsed, self.ba_pipeline.feature_tracks_running_time, n_tracks, ba_e, init_e
 
     def rm_tmp_files_after_ba(self):
-        shutil.rmtree("{}/{}/matches".format(self.dst_dir, self.ba_method), ignore_errors=True)
+        from sat_bundleadjust_tpu.parallel import multihost
+
+        if multihost.is_main_process():
+            shutil.rmtree("{}/{}/matches".format(self.dst_dir, self.ba_method), ignore_errors=True)
+        multihost.barrier("rm_tmp_files")
 
     def reset_ba_params(self):
         """Reference: ba_timeseries.py:387-392."""
+        from sat_bundleadjust_tpu.parallel import multihost
+
         ba_dir = "{}/{}".format(self.dst_dir, self.ba_method)
-        if os.path.exists(ba_dir):
+        if multihost.is_main_process() and os.path.exists(ba_dir):
             shutil.rmtree(ba_dir)
+        multihost.barrier("reset_ba_params")
         for t in self.timeline:
             t["adjusted"] = False
 
@@ -322,9 +338,12 @@ class Scene:
             self.set_ba_input_data([t_idx], ba_dir, ba_dir, self.n_dates)
             self.fix_ref_cam = fix_ref_cam_initial and (idx == 0 or self.n_dates == 0)
             running_time, time_FT, n_tracks, ba_e, _ = self.bundle_adjust()
-            pts_out = "{}/pts3d_adj/{}_pts3d_adj.ply".format(ba_dir, self.timeline[t_idx]["id"])
-            os.makedirs(os.path.dirname(pts_out), exist_ok=True)
-            shutil.copyfile(ba_dir + "/pts3d_adj.ply", pts_out)
+            from sat_bundleadjust_tpu.parallel import multihost
+
+            if multihost.is_main_process():
+                pts_out = "{}/pts3d_adj/{}_pts3d_adj.ply".format(ba_dir, self.timeline[t_idx]["id"])
+                os.makedirs(os.path.dirname(pts_out), exist_ok=True)
+                shutil.copyfile(ba_dir + "/pts3d_adj.ply", pts_out)
 
             init_e, _ = self.compute_reprojection_error_before_and_after_bundle_adjust()
             for k, v in zip(

@@ -79,20 +79,47 @@ def detect_features_image_sequence(geotiff_paths, mask_paths=None, offsets=None,
     (reference: ft_s2p.detect_features_image_sequence, ft_s2p.py:18-94)."""
     from sat_bundleadjust_tpu.utils.config import init_feature_tracks_config
 
+    import jax
+
     config = init_feature_tracks_config(tracks_config)
     max_kp = None if tracks_config is None else config["FT_kp_max"]
     backend = config["FT_sift_detection"]
+
+    # multi-process deployments: each host reads + detects ONLY its own
+    # images (per-host geotiff IO, SURVEY.md section 5.8) and exchanges the
+    # results through the shared features/ npy cache — the TPU-native analog
+    # of the reference's per-worker npy exchange (ft_s2p.py:123-124)
+    multiproc = jax.process_count() > 1
+    if multiproc:
+        from sat_bundleadjust_tpu.parallel import multihost
+        from sat_bundleadjust_tpu.parallel.mesh import make_mesh
+
+        if not (config["FT_save"] and "out_dir" in config):
+            raise ValueError(
+                "multi-process feature detection needs FT_save + out_dir "
+                "(shared-filesystem npy exchange)"
+            )
+        owned = set(multihost.partition_by_process(len(geotiff_paths)))
+        local_devs = jax.local_devices()
+        local_mesh = make_mesh(devices=local_devs) if len(local_devs) > 1 else False
+    else:
+        owned = None
+        local_mesh = None
 
     # first pass: resolve caches and load the images that need detection
     n = len(geotiff_paths)
     resolved = [None] * n
     to_detect = []  # (i, image, mask)
+    remote = []  # uncached images another process owns (multi-process only)
     for i, geotiff_path in enumerate(geotiff_paths):
         if not config["FT_reset"] and "in_dir" in config:
             npy_in = os.path.join(config["in_dir"], "features/{}.npy".format(get_id(geotiff_path)))
             if os.path.exists(npy_in):
                 resolved[i] = np.load(npy_in)
                 continue
+        if owned is not None and i not in owned:
+            remote.append(i)
+            continue
         offset_i = None if offsets is None else offsets[i]
         mask = None if mask_paths is None else np.load(mask_paths[i])
         image = loader.load_image(
@@ -118,11 +145,37 @@ def detect_features_image_sequence(geotiff_paths, mask_paths=None, offsets=None,
             feats_list = detect_batches_mesh(
                 [np.asarray(im, dtype=np.float32) for _, im, _ in group],
                 config, max_kp=max_kp,
+                mesh=local_mesh,
             )
             for (i, _, mask), feats in zip(group, feats_list):
                 if mask is not None and feats.shape[0] > 0:
                     feats = _apply_mask(feats, mask)
                 resolved[i] = _top_k_by_scale(feats, max_kp)
+
+    if multiproc:
+        # publish this host's work to the shared cache (detected images are
+        # owned exclusively — no write races; cache-relocated entries are
+        # published by the main process only), then pick up the other hosts'
+        from sat_bundleadjust_tpu.parallel import multihost
+
+        detected = {i for i, _, _ in to_detect}
+        for i in range(n):
+            if resolved[i] is None or i in remote:
+                continue
+            if i not in detected and not multihost.is_main_process():
+                continue
+            npy_out = os.path.join(
+                config["out_dir"], "features/{}.npy".format(get_id(geotiff_paths[i]))
+            )
+            if not os.path.exists(npy_out):
+                os.makedirs(os.path.dirname(npy_out), exist_ok=True)
+                np.save(npy_out, resolved[i])
+        multihost.barrier("feature_detection")
+        for i in remote:
+            npy_out = os.path.join(
+                config["out_dir"], "features/{}.npy".format(get_id(geotiff_paths[i]))
+            )
+            resolved[i] = np.load(npy_out)
 
     features = []
     for i, geotiff_path in enumerate(geotiff_paths):
@@ -130,7 +183,7 @@ def detect_features_image_sequence(geotiff_paths, mask_paths=None, offsets=None,
         n_kp = int(np.sum(~np.isnan(features_i[:, 0])))
         flush_print("{} keypoints in image {}".format(n_kp, i))
 
-        if config["FT_save"] and "out_dir" in config:
+        if config["FT_save"] and "out_dir" in config and not multiproc:
             npy_out = os.path.join(config["out_dir"], "features/{}.npy".format(get_id(geotiff_path)))
             os.makedirs(os.path.dirname(npy_out), exist_ok=True)
             np.save(npy_out, features_i)

@@ -222,16 +222,37 @@ def match_stereo_pairs(pairs_to_match, features, footprints, utm_coords, tracks_
     With more than one device the uncached pairs' 2-NN stage runs sharded
     over the mesh (one pair per device per dispatch) — the TPU-native
     replacement of the reference's Pool/ray fan-out (ft_match.py:342-393)."""
+    import jax
+
     F = [None] * len(pairs_to_match) if F is None else F
     in_dir = tracks_config.get("in_dir", "")
     out_dir = tracks_config.get("out_dir", "")
     load = lambda x: np.load(x, mmap_mode="r") if isinstance(x, str) else np.asarray(x)
     fid = lambda x: get_id(x) if isinstance(x, str) else str(x)
 
+    # multi-process deployments: each host matches ONLY its own pairs on its
+    # LOCAL devices and exchanges results through the shared
+    # pairwise_matches/ npy cache — replacing the reference's Pool/ray pair
+    # fan-out + filesystem transport (ft_match.py:342-393)
+    multiproc = jax.process_count() > 1
+    if multiproc:
+        from sat_bundleadjust_tpu.parallel import multihost
+        from sat_bundleadjust_tpu.parallel.mesh import make_mesh
+
+        if not out_dir:
+            raise ValueError(
+                "multi-process matching needs out_dir (shared-filesystem "
+                "npy exchange)"
+            )
+        owned = set(multihost.partition_by_process(len(pairs_to_match)))
+        local_devs = jax.local_devices()
+        mesh = make_mesh(devices=local_devs) if len(local_devs) > 1 else False
+
     # pass 1: resolve caches, restrict uncached pairs to their UTM bbox
     resolved = [None] * len(pairs_to_match)  # matches_ij or None
     npy_ids = [None] * len(pairs_to_match)
     from_cache = [False] * len(pairs_to_match)
+    remote = []  # uncached pairs another process owns (multi-process only)
     to_match = []  # (idx, fi, fj, idx_i, idx_j, utm_i, utm_j)
     for idx, (i, j) in enumerate(pairs_to_match):
         npy_id1 = "{}_{}.npy".format(fid(features[i]), fid(features[j]))
@@ -248,6 +269,10 @@ def match_stereo_pairs(pairs_to_match, features, footprints, utm_coords, tracks_
             resolved[idx] = np.load(npy_path2)[:, ::-1]
             npy_ids[idx] = npy_id2
             from_cache[idx] = npy_path2
+            continue
+
+        if multiproc and idx not in owned:
+            remote.append(idx)
             continue
 
         poly_i = geo_utils.geojson_to_polygon(footprints[i]["geojson"])
@@ -279,8 +304,7 @@ def match_stereo_pairs(pairs_to_match, features, footprints, utm_coords, tracks_
         from sat_bundleadjust_tpu.parallel.feature_shard import default_mesh_or_none
 
         mesh = default_mesh_or_none()
-    import jax
-
+    mesh = mesh or None  # False = force single-device (multi-process local work)
     use_mesh = mesh is not None and len(to_match) >= 2
     if mesh_ok and len(to_match) >= 1:
         pair_F = [
@@ -323,6 +347,22 @@ def match_stereo_pairs(pairs_to_match, features, footprints, utm_coords, tracks_
             )
             resolved[idx] = matches_ij
 
+    if multiproc:
+        # publish this host's pair results (empties included, so peers can
+        # distinguish "computed, 0 matches" from "not computed"), sync, and
+        # pick up the pairs the other hosts own
+        for (idx, *_rest) in to_match:
+            out_path = os.path.join(out_dir, "pairwise_matches", npy_ids[idx])
+            os.makedirs(os.path.dirname(out_path), exist_ok=True)
+            m = resolved[idx]
+            np.save(out_path, np.zeros((0, 2), np.int64) if m is None else np.asarray(m))
+        multihost.barrier("pairwise_matching")
+        for idx in remote:
+            out_path = os.path.join(out_dir, "pairwise_matches", npy_ids[idx])
+            if os.path.exists(out_path):  # owner may have skipped the pair
+                m = np.load(out_path)
+                resolved[idx] = m if m.shape[0] > 0 else None
+
     # pass 3: assemble, print, write caches (save semantics as the
     # reference, ft_match.py:327-336: cached matches are re-saved when the
     # output cache location differs from where they were loaded)
@@ -340,7 +380,20 @@ def match_stereo_pairs(pairs_to_match, features, footprints, utm_coords, tracks_
             im_rows.extend([[i, j]] * n_matches)
             if tracks_config.get("FT_save") and out_dir:
                 out_path = os.path.join(out_dir, "pairwise_matches", npy_ids[idx])
-                if out_path != from_cache[idx]:
+                if multiproc:
+                    # owned results were already published pre-barrier; only
+                    # the main process relocates cache hits (no write races)
+                    from sat_bundleadjust_tpu.parallel.multihost import is_main_process
+
+                    if (
+                        from_cache[idx]
+                        and out_path != from_cache[idx]
+                        and is_main_process()
+                        and not os.path.exists(out_path)
+                    ):
+                        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+                        np.save(out_path, np.asarray(matches_ij))
+                elif out_path != from_cache[idx]:
                     os.makedirs(os.path.dirname(out_path), exist_ok=True)
                     np.save(out_path, np.asarray(matches_ij))
 

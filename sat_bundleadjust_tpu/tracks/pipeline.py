@@ -36,17 +36,24 @@ class FeatureTracksPipeline:
 
         # AOI keypoint masks (reference: ft_pipeline.py:59-71)
         if self.config["FT_kp_aoi"] and self.aoi is not None:
+            from sat_bundleadjust_tpu.parallel import multihost
+
             self.mask_paths = []
             masks_dir = os.path.join(self.output_dir, "masks")
             os.makedirs(masks_dir, exist_ok=True)
-            for im in self.images:
-                y0, x0 = int(im.offset["row0"]), int(im.offset["col0"])
-                h, w = int(im.offset["height"]), int(im.offset["width"])
-                mask = loader.get_binary_mask_from_aoi_lonlat_within_image(
-                    h, w, im.rpc, self.aoi, alt=im.alt or 0.0
-                )
+            # multi-process: masks are consumed only by the detection stage,
+            # whose image ownership uses the same round-robin deal — each
+            # host writes (and later reads) only its own images' masks
+            owned = set(multihost.partition_by_process(len(self.images)))
+            for k, im in enumerate(self.images):
                 mask_path = os.path.join(masks_dir, loader.get_id(im.geotiff_path) + ".npy")
-                np.save(mask_path, mask[y0 : y0 + h, x0 : x0 + w])
+                if k in owned:
+                    y0, x0 = int(im.offset["row0"]), int(im.offset["col0"])
+                    h, w = int(im.offset["height"]), int(im.offset["width"])
+                    mask = loader.get_binary_mask_from_aoi_lonlat_within_image(
+                        h, w, im.rpc, self.aoi, alt=im.alt or 0.0
+                    )
+                    np.save(mask_path, mask[y0 : y0 + h, x0 : x0 + w])
                 self.mask_paths.append(mask_path)
         else:
             self.mask_paths = None
@@ -68,13 +75,21 @@ class FeatureTracksPipeline:
         cfg["FT_save"] = True  # downstream stages read the npy files
         ft_detection.detect_features_image_sequence(image_paths, masks, offsets, cfg)
 
-        for npy, npy_utm, im in zip(self.features, self.features_utm, self.images):
+        # multi-process: UTM coords follow detection's image ownership
+        # (same round-robin deal), synced before any host reads cross-host
+        from sat_bundleadjust_tpu.parallel import multihost
+
+        owned = set(multihost.partition_by_process(len(self.images)))
+        for k, (npy, npy_utm, im) in enumerate(zip(self.features, self.features_utm, self.images)):
+            if k not in owned:
+                continue
             if not self.config["FT_reset"] and os.path.exists(npy_utm):
                 continue
             feats = np.load(npy, mmap_mode="r")
             utm = ft_matching.keypoints_to_utm_coords(feats, im.rpc, im.offset, im.alt or 0.0)
             os.makedirs(os.path.dirname(npy_utm), exist_ok=True)
             np.save(npy_utm, utm)
+        multihost.barrier("features_utm")
 
     def get_stereo_pairs_to_match(self):
         """Reference: ft_pipeline.py:107-132."""
@@ -184,7 +199,9 @@ class FeatureTracksPipeline:
 
         flush_print("\nExtracting feature tracks...\n")
         feature_tracks = self.get_feature_tracks()
-        if self.config.get("FT_save"):
+        from sat_bundleadjust_tpu.parallel.multihost import is_main_process
+
+        if self.config.get("FT_save") and is_main_process():
             # persist the portable artifacts consumed by
             # loader.save_predefined_matches (filenames manifest + flat
             # matches table; reference writes these in the predefined loader,

@@ -8,15 +8,32 @@ over the 4-device cross-process mesh (SURVEY.md section 5.8 / step 6 of
 the build plan; the reference's counterpart is the multiprocessing Pool of
 ft_match.py:342-393)."""
 
+import glob
+import json
 import os
 import re
 import socket
 import subprocess
 import sys
 
+import numpy as np
 import pytest
 
 HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def _clean_env(n_local_devices=2):
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count={}".format(n_local_devices)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("JAX_NUM_CPU_DEVICES", None)
+    # keep the axon TPU-tunnel PJRT plugin out of the workers entirely:
+    # jax.distributed.initialize triggers discovery of every registered
+    # plugin, and two processes dialing the single-tenant tunnel hang/crash
+    for k in list(env):
+        if "AXON" in k:
+            env.pop(k)
+    return env
 
 
 def _free_port():
@@ -29,16 +46,7 @@ def _free_port():
 
 def test_two_process_distributed_solve():
     coord = "127.0.0.1:{}".format(_free_port())
-    env = dict(os.environ)
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
-    env["JAX_PLATFORMS"] = "cpu"
-    env.pop("JAX_NUM_CPU_DEVICES", None)
-    # keep the axon TPU-tunnel PJRT plugin out of the workers entirely:
-    # jax.distributed.initialize triggers discovery of every registered
-    # plugin, and two processes dialing the single-tenant tunnel hang/crash
-    for k in list(env):
-        if "AXON" in k:
-            env.pop(k)
+    env = _clean_env()
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.join(HERE, "_multihost_worker.py"), str(i), "2", coord],
@@ -70,3 +78,86 @@ def test_two_process_distributed_solve():
     cost0, cost, iters, err = results[0]
     assert cost < cost0
     assert iters >= 1
+
+
+def test_two_process_full_pipeline(tmp_path):
+    """The complete 11-step pipeline across 2 jax.distributed processes:
+    per-host detection/matching IO + npy exchange, mesh-wide BA solve,
+    single-writer outputs (round-3 product integration of the distributed
+    backend; reference counterpart: FT_n_proc multiprocessing,
+    ft_utils.py:316 + ft_match.py:342-393)."""
+    from PIL import Image
+
+    from sat_bundleadjust_tpu.models.rpc import rpc_from_rpc_file, write_rpc_file
+    from sat_bundleadjust_tpu.utils.demo import render_synthetic_images
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    h, w = 300, 400
+    images, true_rpcs = render_synthetic_images(n_cam=4, h=h, w=w, seed=3)
+    rng = np.random.RandomState(11)
+    for i, (im, rpc) in enumerate(zip(images, true_rpcs)):
+        bias = np.zeros(2) if i == 0 else rng.uniform(-3, 3, 2)
+        biased = rpc._replace(
+            col_offset=rpc.col_offset + bias[0], row_offset=rpc.row_offset + bias[1]
+        )
+        name = "20200413_1514{:02d}_synth_cam{}".format(10 + i, i)
+        Image.fromarray((im * 255).astype(np.uint8)).save(str(img_dir / (name + ".tif")))
+        write_rpc_file(biased, str(img_dir / (name + ".rpc")))
+
+    out_dir = str(tmp_path / "outdir")
+    cfg = {
+        "geotiff_dir": str(img_dir),
+        "rpc_dir": str(img_dir),
+        "rpc_src": "txt",
+        "cam_model": "rpc",
+        "output_dir": out_dir,
+        "ba_method": "ba_bruteforce",
+        "FT_kp_max": 3000,
+        "FT_sift_detection": "tpu",
+        "FT_sift_matching": "bruteforce",
+        "clean_outliers": True,
+        "save_figures": False,
+        "distributed": True,
+    }
+    cfg_path = str(tmp_path / "config.json")
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+
+    coord = "127.0.0.1:{}".format(_free_port())
+    env = _clean_env()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(HERE, "_multihost_pipeline_worker.py"),
+             str(i), "2", coord, cfg_path],
+            env=env, cwd=HERE, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, "process {} failed:\n{}".format(i, out[-6000:])
+        assert "MULTIHOST_PIPELINE_DONE pid={}".format(i) in out
+
+    # per-host IO actually happened: each worker detected only its own images
+    # ("N keypoints in image i" is printed only where detection ran locally)
+    det0 = set(re.findall(r"keypoints in image (\d+)", outs[0]))
+    det1 = set(re.findall(r"keypoints in image (\d+)", outs[1]))
+    assert det0 == det1 == {"0", "1", "2", "3"}  # both report all post-exchange
+
+    # outputs written exactly once (by process 0) and sane
+    adj = sorted(glob.glob(os.path.join(out_dir, "ba_bruteforce/rpcs_adj/*.rpc_adj")))
+    assert len(adj) == 4
+    for p in adj:
+        r = rpc_from_rpc_file(p)
+        assert np.all(np.isfinite(np.asarray(r.line_num)))
+    assert "distributed" in (outs[0] + outs[1])  # the mesh solver ran
