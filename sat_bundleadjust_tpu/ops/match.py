@@ -191,6 +191,79 @@ def match_pair(features_i, features_j, F=None, rel_thr=0.6, abs_thr=250.0,
     return _finalize_matches(features_i, features_j, np.asarray(nn_idx), np.asarray(accepted), ransac_thr)
 
 
+def pack_pairs(pair_feats, pair_F, epipolar_thr=EPIPOLAR_THR, b_pad=None,
+               n1=None, n2=None):
+    """Pack a list of stereo pairs into the batched matcher operand layout
+    (the pallas_2nn_batched contract, ops/pallas_match.py): descriptors,
+    per-row epipolar lines l_i = F^T h_i, per-column homogeneous points,
+    validity masks and per-pair thresholds (1e9 disables the gate), padded
+    to shared (b_pad, n1, n2) shapes so similar-size runs reuse one
+    compilation. Shared by the single-device batched path and the mesh
+    path (parallel/feature_shard.match_pairs_mesh)."""
+    B = len(pair_feats)
+    if n1 is None:
+        n1 = max(max(np.asarray(f[0]).shape[0] for f in pair_feats), 1)
+        n1 = -(-n1 // 256) * 256
+    if n2 is None:
+        n2 = max(max(np.asarray(f[1]).shape[0] for f in pair_feats), 1)
+        n2 = -(-n2 // 512) * 512
+    b_pad = B if b_pad is None else b_pad
+    di = np.zeros((b_pad, n1, 128), np.float32)
+    dj = np.zeros((b_pad, n2, 128), np.float32)
+    li = np.zeros((b_pad, n1, 3), np.float32)
+    li[:, :, 0] = 1.0
+    hj = np.zeros((b_pad, n2, 3), np.float32)
+    hj[:, :, 2] = 1.0
+    vi = np.zeros((b_pad, n1), np.float32)
+    vj = np.zeros((b_pad, n2), np.float32)
+    thr = np.full(b_pad, 1e9, np.float32)
+    for b, ((fi, fj), F) in enumerate(zip(pair_feats, pair_F)):
+        fi, fj = np.asarray(fi), np.asarray(fj)
+        ki, kj = fi.shape[0], fj.shape[0]
+        vi[b, :ki] = ~np.isnan(fi[:, 0])
+        vj[b, :kj] = ~np.isnan(fj[:, 0])
+        di[b, :ki] = np.nan_to_num(fi[:, 4:])
+        dj[b, :kj] = np.nan_to_num(fj[:, 4:])
+        hj[b, :kj, :2] = np.nan_to_num(fj[:, :2])
+        if F is not None:
+            h_i = np.hstack([np.nan_to_num(fi[:, :2]), np.ones((ki, 1))])
+            li[b, :ki] = (h_i @ np.asarray(F).T).astype(np.float32)
+            thr[b] = float(epipolar_thr)
+    return {"di": di, "dj": dj, "li": li, "hj": hj, "vi": vi, "vj": vj, "thr": thr}
+
+
+def int8_packable(di, dj):
+    """True when descriptors are exact integers in 0..255 (the uint8 SIFT
+    quantization), so the int8-MXU kernel is bit-identical to f32."""
+    import os
+
+    return (
+        os.environ.get("SATBA_MATCH_INT8", "1") == "1"
+        and di.max(initial=0.0) <= 255.0
+        and dj.max(initial=0.0) <= 255.0
+        and di.min(initial=0.0) >= 0.0
+        and dj.min(initial=0.0) >= 0.0
+        and np.array_equal(di, np.rint(di))
+        and np.array_equal(dj, np.rint(dj))
+    )
+
+
+def accept_from_packed(packed, pair_feats, vi, method, rel_thr, abs_thr):
+    """Host-side acceptance tail of the batched matchers: ratio/absolute
+    test per pair on the packed (B, 3, n1) (d1, d2, nn) result."""
+    out = []
+    for b, (fi, _fj) in enumerate(pair_feats):
+        ki = np.asarray(fi).shape[0]
+        d1, d2, nn = packed[b, 0, :ki], packed[b, 1, :ki], packed[b, 2, :ki]
+        if method == "relative":
+            accepted = d1 < (rel_thr ** 2) * d2
+        else:
+            accepted = d1 < abs_thr ** 2
+        accepted &= (d1 < 5e11) & (vi[b, :ki] > 0)
+        out.append((nn.astype(np.int64), accepted))
+    return out
+
+
 def match_pairs_2nn_batched(pair_feats, pair_F, rel_thr=0.6, abs_thr=250.0,
                             method="relative", epipolar_thr=EPIPOLAR_THR):
     """2-NN + ratio/epipolar stage for MANY pairs in one device dispatch.
@@ -240,50 +313,29 @@ def match_pairs_2nn_batched(pair_feats, pair_F, rel_thr=0.6, abs_thr=250.0,
             out.append((np.asarray(nn)[:ki], np.asarray(acc)[:ki]))
         return out
 
-    from sat_bundleadjust_tpu.ops.pallas_match import pallas_2nn_batched
+    from sat_bundleadjust_tpu.ops.pallas_match import (
+        pallas_2nn_batched, pallas_2nn_batched_i8,
+    )
 
-    n1 = max(max(np.asarray(f[0]).shape[0] for f in pair_feats), 1)
-    n2 = max(max(np.asarray(f[1]).shape[0] for f in pair_feats), 1)
-    # round up so runs with similar keypoint counts share one compilation
-    n1 = -(-n1 // 256) * 256
-    n2 = -(-n2 // 512) * 512
-    di = np.zeros((B, n1, 128), np.float32)
-    dj = np.zeros((B, n2, 128), np.float32)
-    li = np.zeros((B, n1, 3), np.float32)
-    li[:, :, 0] = 1.0
-    hj = np.zeros((B, n2, 3), np.float32)
-    hj[:, :, 2] = 1.0
-    vi = np.zeros((B, n1), np.float32)
-    vj = np.zeros((B, n2), np.float32)
-    thr = np.full(B, 1e9, np.float32)
-    for b, ((fi, fj), F) in enumerate(zip(pair_feats, pair_F)):
-        fi, fj = np.asarray(fi), np.asarray(fj)
-        ki, kj = fi.shape[0], fj.shape[0]
-        vi[b, :ki] = ~np.isnan(fi[:, 0])
-        vj[b, :kj] = ~np.isnan(fj[:, 0])
-        di[b, :ki] = np.nan_to_num(fi[:, 4:])
-        dj[b, :kj] = np.nan_to_num(fj[:, 4:])
-        hj[b, :kj, :2] = np.nan_to_num(fj[:, :2])
-        if F is not None:
-            h_i = np.hstack([np.nan_to_num(fi[:, :2]), np.ones((ki, 1))])
-            li[b, :ki] = (h_i @ np.asarray(F).T).astype(np.float32)
-            thr[b] = float(epipolar_thr)
-
-    packed = np.asarray(pallas_2nn_batched(
-        jnp.asarray(di), jnp.asarray(dj), jnp.asarray(li), jnp.asarray(hj),
-        jnp.asarray(vi), jnp.asarray(vj), jnp.asarray(thr),
-    ))  # (B, 3, n1): d1, d2, nn
-    out = []
-    for b, (fi, _fj) in enumerate(pair_feats):
-        ki = np.asarray(fi).shape[0]
-        d1, d2, nn = packed[b, 0, :ki], packed[b, 1, :ki], packed[b, 2, :ki]
-        if method == "relative":
-            accepted = d1 < (rel_thr ** 2) * d2
-        else:
-            accepted = d1 < abs_thr ** 2
-        accepted &= (d1 < 5e11) & (vi[b, :ki] > 0)
-        out.append((nn.astype(np.int64), accepted))
-    return out
+    p = pack_pairs(pair_feats, pair_F, epipolar_thr)
+    di, dj = p["di"], p["dj"]
+    # int8 MXU path (SATBA_MATCH_INT8=0 disables): SIFT descriptors are
+    # exact uint8 (0..255 quantized, ops/sift.py), so (d - 128) fits int8
+    # and the distance cross-term runs on the MXU's ~4x-f32 int8 path with
+    # results bit-identical to the f32 kernel (ops/pallas_match.py)
+    if int8_packable(di, dj):
+        packed = np.asarray(pallas_2nn_batched_i8(
+            jnp.asarray((di - 128.0).astype(np.int8)),
+            jnp.asarray((dj - 128.0).astype(np.int8)),
+            jnp.asarray(p["li"]), jnp.asarray(p["hj"]),
+            jnp.asarray(p["vi"]), jnp.asarray(p["vj"]), jnp.asarray(p["thr"]),
+        ))  # (B, 3, n1): d1, d2, nn
+    else:
+        packed = np.asarray(pallas_2nn_batched(
+            jnp.asarray(di), jnp.asarray(dj), jnp.asarray(p["li"]), jnp.asarray(p["hj"]),
+            jnp.asarray(p["vi"]), jnp.asarray(p["vj"]), jnp.asarray(p["thr"]),
+        ))  # (B, 3, n1): d1, d2, nn
+    return accept_from_packed(packed, pair_feats, p["vi"], method, rel_thr, abs_thr)
 
 
 def _finalize_matches(features_i, features_j, nn_idx, accepted, ransac_thr):

@@ -157,6 +157,137 @@ def _kernel_b(di_ref, li_ref, vi_ref, dj_ref, hj_ref, vj_ref, thr_ref,
         idx_ref[0] = c_idx[:]
 
 
+BIG_I = 2 ** 30  # int32 sentinel (plain int: jnp constants may not be captured by kernels)
+
+
+def _kernel_b_i8(di_ref, li_ref, vi_ref, dj_ref, hj_ref, vj_ref, thr_ref,
+                 d1_ref, d2_ref, idx_ref, c_d1, c_d2, c_idx):
+    """int8-MXU twin of _kernel_b. SIFT descriptors are EXACT uint8
+    (0..255 quantized, ops/sift.py); stored as (d - 128) int8, the cross
+    term (a-128).(b-128) runs on the MXU's int8 path (~4x the f32 rate on
+    TPU) with s32 accumulate, and the whole distance stays exact in int32:
+    max 128 * 255^2 = 8 323 200 < 2^24, so the final f32 store is exact and
+    identical to the f32 kernel's result. Top-2 merge runs in int32 on the
+    VPU; the epipolar gate stays f32 (3-wide dot, negligible).
+    Reference counterpart: sift4ctypes.cpp:162-192."""
+    b = pl.program_id(0)
+    j = pl.program_id(2)
+    n_j = pl.num_programs(2)
+
+    big_i = jnp.int32(BIG_I)
+
+    @pl.when(j == 0)
+    def _():
+        c_d1[:] = jnp.full((BM, 1), BIG_I, jnp.int32)
+        c_d2[:] = jnp.full((BM, 1), BIG_I, jnp.int32)
+        c_idx[:] = jnp.zeros((BM, 1), jnp.int32)
+
+    di = di_ref[0]  # (BM, 128) int8, value = descriptor - 128
+    dj = dj_ref[0]  # (BN, 128) int8
+    cross = jax.lax.dot_general(
+        di, dj, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+    )  # (BM, BN) s32, exact
+    di32 = di.astype(jnp.int32)
+    dj32 = dj.astype(jnp.int32)
+    sq_i = jnp.sum(di32 * di32, axis=1, keepdims=True)
+    sq_j = jnp.sum(dj32 * dj32, axis=1, keepdims=True)
+    # |a - b|^2 = |a'|^2 + |b'|^2 - 2 a'.b' with a' = a-128, b' = b-128
+    dist = jnp.maximum(sq_i + sq_j.T - 2 * cross, 0)
+
+    li = li_ref[0]  # (BM, 3) f32
+    hj = hj_ref[0]  # (BN, 3) f32
+    num = jax.lax.dot_general(
+        li, hj, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    denom = li[:, 0:1] ** 2 + li[:, 1:2] ** 2
+    thr = thr_ref[b]
+    gate_ok = num * num <= (thr * thr) * denom
+
+    valid = (vi_ref[0] > 0) & (vj_ref[0].T > 0) & gate_ok
+    dist = jnp.where(valid, dist, big_i)
+
+    v1 = jnp.min(dist, axis=1, keepdims=True)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+    arg1 = jnp.min(
+        jnp.where(dist <= v1, col_ids, jnp.int32(2 ** 30)), axis=1, keepdims=True
+    )
+    dist_wo = jnp.where(col_ids == arg1, big_i, dist)
+    v2 = jnp.min(dist_wo, axis=1, keepdims=True)
+    g_idx = arg1 + j * BN
+
+    old1, old2, oldi = c_d1[:], c_d2[:], c_idx[:]
+    new1 = jnp.minimum(old1, v1)
+    newi = jnp.where(v1 < old1, g_idx, oldi)
+    new2 = jnp.minimum(jnp.maximum(old1, v1), jnp.minimum(old2, v2))
+    c_d1[:] = new1
+    c_d2[:] = new2
+    c_idx[:] = newi
+
+    @pl.when(j == n_j - 1)
+    def _():
+        # sentinel remap: int32 BIG (2^30 ~ 1.07e9) -> the f32 kernel's BIG
+        # (1e12) so downstream "no candidate" checks (d1 < 5e11) behave
+        # identically on both paths
+        big32 = jnp.float32(BIG)
+        d1_ref[0] = jnp.where(c_d1[:] >= big_i, big32, c_d1[:].astype(jnp.float32))
+        d2_ref[0] = jnp.where(c_d2[:] >= big_i, big32, c_d2[:].astype(jnp.float32))
+        idx_ref[0] = c_idx[:]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_2nn_batched_i8(desc_i, desc_j, lines_i, hpts_j, valid_i, valid_j,
+                          epi_thr, interpret=False):
+    """int8 variant of pallas_2nn_batched: desc_* are int8 (descriptor
+    value minus 128); distances and results are bit-identical to the f32
+    kernel on integer-valued descriptors. Same packed (B, 3, N1) return."""
+    B, n1 = desc_i.shape[0], desc_i.shape[1]
+    n2 = desc_j.shape[1]
+    pad1 = (-n1) % BM
+    pad2 = (-n2) % BN
+    di = jnp.pad(desc_i.astype(jnp.int8), ((0, 0), (0, pad1), (0, 0)))
+    dj = jnp.pad(desc_j.astype(jnp.int8), ((0, 0), (0, pad2), (0, 0)))
+    li = jnp.pad(lines_i.astype(jnp.float32), ((0, 0), (0, pad1), (0, 0)))
+    hj = jnp.pad(hpts_j.astype(jnp.float32), ((0, 0), (0, pad2), (0, 0)))
+    vi = jnp.pad(valid_i.astype(jnp.float32)[..., None], ((0, 0), (0, pad1), (0, 0)))
+    vj = jnp.pad(valid_j.astype(jnp.float32)[..., None], ((0, 0), (0, pad2), (0, 0)))
+    thr = epi_thr.astype(jnp.float32)
+
+    grid = (B, di.shape[1] // BM, dj.shape[1] // BN)
+    with jax.enable_x64(False):
+        d1, d2, idx = pl.pallas_call(
+            _kernel_b_i8,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, BM, 128), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BM, 3), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BM, 1), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BN, 128), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BN, 3), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BN, 1), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, BM, 1), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BM, 1), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BM, 1), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, di.shape[1], 1), jnp.float32),
+                jax.ShapeDtypeStruct((B, di.shape[1], 1), jnp.float32),
+                jax.ShapeDtypeStruct((B, di.shape[1], 1), jnp.int32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((BM, 1), jnp.int32),
+                pltpu.VMEM((BM, 1), jnp.int32),
+                pltpu.VMEM((BM, 1), jnp.int32),
+            ],
+            interpret=interpret,
+        )(di, li, vi, dj, hj, vj, thr)
+    return jnp.stack(
+        [d1[:, :n1, 0], d2[:, :n1, 0], idx[:, :n1, 0].astype(jnp.float32)], axis=1
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def pallas_2nn_batched(desc_i, desc_j, lines_i, hpts_j, valid_i, valid_j,
                        epi_thr, interpret=False):

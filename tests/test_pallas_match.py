@@ -145,3 +145,43 @@ def test_pallas_kernel_epipolar_gating():
     assert np.max(dy) <= thr + 1e-3
     # and some pairs must pass (positions are uniform, thr=30/500)
     assert found.sum() > 10
+
+
+def test_pallas_i8_matches_f32_on_integer_descriptors():
+    """The int8-MXU batched kernel must be BIT-identical to the f32 kernel
+    on integer-valued 0..255 descriptors (uint8 SIFT quantization), with
+    the same 1e12 no-candidate sentinel."""
+    import jax.numpy as jnp
+
+    from sat_bundleadjust_tpu.ops.pallas_match import (
+        pallas_2nn_batched, pallas_2nn_batched_i8,
+    )
+
+    rng = np.random.RandomState(4)
+    B, n1, n2 = 2, 300, 500
+    d_i = rng.randint(0, 256, (B, n1, 128)).astype(np.float32)
+    d_j = rng.randint(0, 256, (B, n2, 128)).astype(np.float32)
+    d_j[:, :60] = d_i[:, :60]  # exact correspondences
+    li = np.zeros((B, n1, 3), np.float32)
+    li[..., 0] = 1.0
+    hj = np.concatenate(
+        [rng.rand(B, n2, 2).astype(np.float32) * 400, np.ones((B, n2, 1), np.float32)],
+        axis=2,
+    )
+    vi = np.ones((B, n1), np.float32)
+    vj = np.ones((B, n2), np.float32)
+    vi[:, -5:] = 0.0  # some invalid rows exercise the sentinel path
+    vj[0, :] = np.where(rng.rand(n2) < 0.2, 0.0, vj[0, :])
+    thr = np.array([1e9, 8.0], np.float32)  # pair 1 gates
+
+    f32 = np.asarray(pallas_2nn_batched(
+        jnp.asarray(d_i), jnp.asarray(d_j), jnp.asarray(li), jnp.asarray(hj),
+        jnp.asarray(vi), jnp.asarray(vj), jnp.asarray(thr), interpret=True,
+    ))
+    i8 = np.asarray(pallas_2nn_batched_i8(
+        jnp.asarray((d_i - 128.0).astype(np.int8)),
+        jnp.asarray((d_j - 128.0).astype(np.int8)),
+        jnp.asarray(li), jnp.asarray(hj),
+        jnp.asarray(vi), jnp.asarray(vj), jnp.asarray(thr), interpret=True,
+    ))
+    np.testing.assert_array_equal(i8, f32)
