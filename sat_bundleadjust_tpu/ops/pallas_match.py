@@ -157,29 +157,28 @@ def _kernel_b(di_ref, li_ref, vi_ref, dj_ref, hj_ref, vj_ref, thr_ref,
         idx_ref[0] = c_idx[:]
 
 
-BIG_I = 2 ** 30  # int32 sentinel (plain int: jnp constants may not be captured by kernels)
 
 
 def _kernel_b_i8(di_ref, li_ref, vi_ref, dj_ref, hj_ref, vj_ref, thr_ref,
                  d1_ref, d2_ref, idx_ref, c_d1, c_d2, c_idx):
     """int8-MXU twin of _kernel_b. SIFT descriptors are EXACT uint8
     (0..255 quantized, ops/sift.py); stored as (d - 128) int8, the cross
-    term (a-128).(b-128) runs on the MXU's int8 path (~4x the f32 rate on
-    TPU) with s32 accumulate, and the whole distance stays exact in int32:
-    max 128 * 255^2 = 8 323 200 < 2^24, so the final f32 store is exact and
-    identical to the f32 kernel's result. Top-2 merge runs in int32 on the
-    VPU; the epipolar gate stays f32 (3-wide dot, negligible).
+    term (a-128).(b-128) runs on the MXU's int8 path with s32 accumulate
+    — halving the descriptor VMEM/HBM traffic and using the MXU's higher
+    int8 rate. Everything elementwise converts to f32 immediately: the
+    max distance 128 * 255^2 = 8 323 200 < 2^24, so f32 stays exact and
+    the result is bit-identical to the f32 kernel (pinned in
+    tests/test_pallas_match.py). A full-int32-VPU variant was measured
+    SLOWER than f32 (the kernel is VPU-bound; BENCHMARKS.md round 3).
     Reference counterpart: sift4ctypes.cpp:162-192."""
     b = pl.program_id(0)
     j = pl.program_id(2)
     n_j = pl.num_programs(2)
 
-    big_i = jnp.int32(BIG_I)
-
     @pl.when(j == 0)
     def _():
-        c_d1[:] = jnp.full((BM, 1), BIG_I, jnp.int32)
-        c_d2[:] = jnp.full((BM, 1), BIG_I, jnp.int32)
+        c_d1[:] = jnp.full((BM, 1), BIG, jnp.float32)
+        c_d2[:] = jnp.full((BM, 1), BIG, jnp.float32)
         c_idx[:] = jnp.zeros((BM, 1), jnp.int32)
 
     di = di_ref[0]  # (BM, 128) int8, value = descriptor - 128
@@ -187,12 +186,18 @@ def _kernel_b_i8(di_ref, li_ref, vi_ref, dj_ref, hj_ref, vj_ref, thr_ref,
     cross = jax.lax.dot_general(
         di, dj, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
     )  # (BM, BN) s32, exact
-    di32 = di.astype(jnp.int32)
-    dj32 = dj.astype(jnp.int32)
-    sq_i = jnp.sum(di32 * di32, axis=1, keepdims=True)
-    sq_j = jnp.sum(dj32 * dj32, axis=1, keepdims=True)
+    # hybrid int8-MXU / f32-VPU: only the O(BM*BN*128) cross term runs in
+    # int8; everything elementwise converts to f32 immediately (every value
+    # is an exact integer < 2^24, so f32 arithmetic stays exact and the
+    # result is bit-identical to the f32 kernel). A full-int32 VPU variant
+    # measured SLOWER than f32 (BENCHMARKS.md round 3): the kernel is
+    # VPU-bound and int32 compare/min throughput is below f32.
+    dif = di.astype(jnp.float32)
+    djf = dj.astype(jnp.float32)
+    sq_i = jnp.sum(dif * dif, axis=1, keepdims=True)
+    sq_j = jnp.sum(djf * djf, axis=1, keepdims=True)
     # |a - b|^2 = |a'|^2 + |b'|^2 - 2 a'.b' with a' = a-128, b' = b-128
-    dist = jnp.maximum(sq_i + sq_j.T - 2 * cross, 0)
+    dist = jnp.maximum(sq_i + sq_j.T - 2.0 * cross.astype(jnp.float32), 0.0)
 
     li = li_ref[0]  # (BM, 3) f32
     hj = hj_ref[0]  # (BN, 3) f32
@@ -204,14 +209,15 @@ def _kernel_b_i8(di_ref, li_ref, vi_ref, dj_ref, hj_ref, vj_ref, thr_ref,
     gate_ok = num * num <= (thr * thr) * denom
 
     valid = (vi_ref[0] > 0) & (vj_ref[0].T > 0) & gate_ok
-    dist = jnp.where(valid, dist, big_i)
+    big32 = jnp.float32(BIG)
+    dist = jnp.where(valid, dist, big32)
 
     v1 = jnp.min(dist, axis=1, keepdims=True)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
     arg1 = jnp.min(
         jnp.where(dist <= v1, col_ids, jnp.int32(2 ** 30)), axis=1, keepdims=True
     )
-    dist_wo = jnp.where(col_ids == arg1, big_i, dist)
+    dist_wo = jnp.where(col_ids == arg1, big32, dist)
     v2 = jnp.min(dist_wo, axis=1, keepdims=True)
     g_idx = arg1 + j * BN
 
@@ -225,12 +231,8 @@ def _kernel_b_i8(di_ref, li_ref, vi_ref, dj_ref, hj_ref, vj_ref, thr_ref,
 
     @pl.when(j == n_j - 1)
     def _():
-        # sentinel remap: int32 BIG (2^30 ~ 1.07e9) -> the f32 kernel's BIG
-        # (1e12) so downstream "no candidate" checks (d1 < 5e11) behave
-        # identically on both paths
-        big32 = jnp.float32(BIG)
-        d1_ref[0] = jnp.where(c_d1[:] >= big_i, big32, c_d1[:].astype(jnp.float32))
-        d2_ref[0] = jnp.where(c_d2[:] >= big_i, big32, c_d2[:].astype(jnp.float32))
+        d1_ref[0] = c_d1[:]
+        d2_ref[0] = c_d2[:]
         idx_ref[0] = c_idx[:]
 
 
@@ -277,8 +279,8 @@ def pallas_2nn_batched_i8(desc_i, desc_j, lines_i, hpts_j, valid_i, valid_j,
                 jax.ShapeDtypeStruct((B, di.shape[1], 1), jnp.int32),
             ],
             scratch_shapes=[
-                pltpu.VMEM((BM, 1), jnp.int32),
-                pltpu.VMEM((BM, 1), jnp.int32),
+                pltpu.VMEM((BM, 1), jnp.float32),
+                pltpu.VMEM((BM, 1), jnp.float32),
                 pltpu.VMEM((BM, 1), jnp.int32),
             ],
             interpret=interpret,
