@@ -107,7 +107,21 @@ def _irls_coeffs(target_norm, locs_norm):
             MW = M * W[:, None]
             A = MW.T @ M + reg
             b = MW.T @ t
-        return jnp.linalg.solve(A, b)[:, 0]
+        # Cholesky instead of jnp.linalg.solve: A is SPD (normal equations
+        # of the normalized poly basis), and the TPU compiler implements
+        # LuDecomposition only for f32/c64 — a scale e2e run caught the
+        # f64 LU failing to compile (round 3); the blocked Cholesky +
+        # triangular-solve expansions are dtype-generic. The unweighted
+        # first solve's A = M^T M can be near-singular (cond ~ cond(M)^2),
+        # where LU still limps through but the factorization needs a
+        # jitter: 1e-10 x mean diagonal is ~4 orders below the IRLS
+        # regularizer REG_H^2 = 1e-6, so the fixed point is unchanged
+        import jax.scipy.linalg as jsl
+
+        jitter = 1e-10 * (jnp.trace(A) / A.shape[0]) * jnp.eye(A.shape[0], dtype=A.dtype)
+        L = jnp.linalg.cholesky(A + jitter)
+        y = jsl.solve_triangular(L, b, lower=True)
+        return jsl.solve_triangular(L.T, y, lower=False)[:, 0]
 
     def coeffs_from(J):
         # J: (39,) -> (num(20), den(20)) with den[0] = 1

@@ -45,8 +45,27 @@ def render_scene(root, n_dates, views_per_date, h, w, seed=0):
         tex += gaussian_filter(rng.randn(n_tex, n_tex), sigma=2.0 ** (o + 1)) * 2.0 ** o
     tex = (tex - tex.min()) / (tex.max() - tex.min())
 
-    cols, rows = np.meshgrid(np.arange(w, dtype=np.float64), np.arange(h, dtype=np.float64))
-    alts = np.full(cols.size, alt)
+    # localize a coarse grid and bilinearly upsample the (lon, lat) fields:
+    # the synthetic RPCs are linear + a bilinear parallax cross-term, so
+    # their inverse at fixed altitude is exactly bilinear in (col, row) —
+    # interpolation is exact, and it avoids a fixed-iteration Newton solve
+    # over h*w points per frame (~minutes each at 2000x2000)
+    g = 65
+    gc = np.linspace(0, w - 1, g)
+    gr = np.linspace(0, h - 1, g)
+    GC, GR = np.meshgrid(gc, gr)
+    galts = np.full(GC.size, alt)
+    cols_f = np.tile(np.arange(w, dtype=np.float64), h)
+    rows_f = np.repeat(np.arange(h, dtype=np.float64), w)
+    fx = np.clip(cols_f / (w - 1) * (g - 1), 0, g - 1.000001)
+    fy = np.clip(rows_f / (h - 1) * (g - 1), 0, g - 1.000001)
+    x0 = np.floor(fx).astype(int); y0 = np.floor(fy).astype(int)
+    wx = fx - x0; wy = fy - y0
+
+    def upsample(grid):
+        return ((1 - wy) * ((1 - wx) * grid[y0, x0] + wx * grid[y0, x0 + 1])
+                + wy * ((1 - wx) * grid[y0 + 1, x0] + wx * grid[y0 + 1, x0 + 1]))
+
     k = 0
     t_render = time.time()
     for d in range(n_dates):
@@ -57,7 +76,9 @@ def render_scene(root, n_dates, views_per_date, h, w, seed=0):
                 view_dx=250.0 * np.cos(phase), view_dy=250.0 * np.sin(phase),
                 img_halfsize=(w / 2.0, h / 2.0),
             )
-            lons, lats = rpc.localization(cols.ravel(), rows.ravel(), alts)
+            glons, glats = rpc.localization(GC.ravel(), GR.ravel(), galts)
+            lons = upsample(np.asarray(glons).reshape(g, g))
+            lats = upsample(np.asarray(glats).reshape(g, g))
             u = np.clip((np.asarray(lons) - (lon0 - span)) / (2 * span) * (n_tex - 1), 0, n_tex - 1.001)
             vq = np.clip((np.asarray(lats) - (lat0 - span)) / (2 * span) * (n_tex - 1), 0, n_tex - 1.001)
             u0, v0 = np.floor(u).astype(int), np.floor(vq).astype(int)
