@@ -317,25 +317,59 @@ def match_pairs_2nn_batched(pair_feats, pair_F, rel_thr=0.6, abs_thr=250.0,
         pallas_2nn_batched, pallas_2nn_batched_i8,
     )
 
-    p = pack_pairs(pair_feats, pair_F, epipolar_thr)
-    di, dj = p["di"], p["dj"]
-    # int8 MXU path (SATBA_MATCH_INT8=0 disables): SIFT descriptors are
-    # exact uint8 (0..255 quantized, ops/sift.py), so (d - 128) fits int8
-    # and the distance cross-term runs on the MXU's ~4x-f32 int8 path with
-    # results bit-identical to the f32 kernel (ops/pallas_match.py)
-    if int8_packable(di, dj):
-        packed = np.asarray(pallas_2nn_batched_i8(
-            jnp.asarray((di - 128.0).astype(np.int8)),
-            jnp.asarray((dj - 128.0).astype(np.int8)),
-            jnp.asarray(p["li"]), jnp.asarray(p["hj"]),
-            jnp.asarray(p["vi"]), jnp.asarray(p["vj"]), jnp.asarray(p["thr"]),
-        ))  # (B, 3, n1): d1, d2, nn
-    else:
-        packed = np.asarray(pallas_2nn_batched(
-            jnp.asarray(di), jnp.asarray(dj), jnp.asarray(p["li"]), jnp.asarray(p["hj"]),
-            jnp.asarray(p["vi"]), jnp.asarray(p["vj"]), jnp.asarray(p["thr"]),
-        ))  # (B, 3, n1): d1, d2, nn
-    return accept_from_packed(packed, pair_feats, p["vi"], method, rel_thr, abs_thr)
+    # chunk the pair list under an operand-byte budget: a 100-view scene's
+    # 1350 pairs at 5k keypoints packed into ONE call is 2x 880 MB of
+    # descriptor operands plus temps, which blew HBM during compile on the
+    # first config-#4 scale run (round 3). Pairs are size-sorted so each
+    # chunk pads to its own maximum; dispatches enqueue asynchronously and
+    # drain in one pass (same scheme as the mesh path,
+    # parallel/feature_shard.match_pairs_mesh).
+    max_bytes = int(os.environ.get("SATBA_MATCH_MAX_BYTES", 1 << 30))
+    sizes = [max(np.asarray(fi).shape[0], 1) for fi, _ in pair_feats]
+    order = np.argsort(sizes, kind="stable")
+    results = [None] * B
+    pending = []
+    c0 = 0
+    while c0 < B:
+        chunk = [order[c0]]
+        c1 = c0 + 1
+        while c1 < B:
+            trial = chunk + [order[c1]]
+            n1 = -(-max(max(pair_feats[q][0].shape[0] for q in trial), 1) // 256) * 256
+            n2 = -(-max(max(pair_feats[q][1].shape[0] for q in trial), 1) // 512) * 512
+            if len(trial) * (n1 + n2) * 131 * 4 > max_bytes:
+                break
+            chunk = trial
+            c1 += 1
+        c0 = c1
+
+        feats = [pair_feats[q] for q in chunk]
+        p = pack_pairs(feats, [pair_F[q] for q in chunk], epipolar_thr)
+        di, dj = p["di"], p["dj"]
+        # int8 MXU path (SATBA_MATCH_INT8=0 disables): SIFT descriptors are
+        # exact uint8 (0..255 quantized, ops/sift.py), so (d - 128) fits
+        # int8 — 4x less HBM/transfer traffic, results bit-identical to the
+        # f32 kernel (ops/pallas_match.py)
+        if int8_packable(di, dj):
+            packed = pallas_2nn_batched_i8(
+                jnp.asarray((di - 128.0).astype(np.int8)),
+                jnp.asarray((dj - 128.0).astype(np.int8)),
+                jnp.asarray(p["li"]), jnp.asarray(p["hj"]),
+                jnp.asarray(p["vi"]), jnp.asarray(p["vj"]), jnp.asarray(p["thr"]),
+            )  # (B_c, 3, n1): d1, d2, nn
+        else:
+            packed = pallas_2nn_batched(
+                jnp.asarray(di), jnp.asarray(dj), jnp.asarray(p["li"]), jnp.asarray(p["hj"]),
+                jnp.asarray(p["vi"]), jnp.asarray(p["vj"]), jnp.asarray(p["thr"]),
+            )
+        pending.append((chunk, packed, p["vi"], feats))
+
+    for chunk, packed, vi, feats in pending:  # drain async dispatches
+        packed = np.asarray(packed)
+        for q, res in zip(chunk, accept_from_packed(packed, feats, vi, method,
+                                                    rel_thr, abs_thr)):
+            results[q] = res
+    return results
 
 
 def _finalize_matches(features_i, features_j, nn_idx, accepted, ransac_thr):
