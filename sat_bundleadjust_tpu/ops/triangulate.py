@@ -168,6 +168,8 @@ def init_pts3d(C, cameras, cam_model, pairs_to_triangulate, verbose=False):
     Returns:
       (N, 3) float array of ECEF points (zeros for tracks with no pair)
     """
+    import os
+
     from sat_bundleadjust_tpu.models.rpc import stack_rpcs
 
     n_pts = C.shape[1]
@@ -175,22 +177,46 @@ def init_pts3d(C, cameras, cam_model, pairs_to_triangulate, verbose=False):
     if batch is None:
         return np.zeros((n_pts, 3))
 
-    track = jnp.asarray(batch["track"])
-    if cam_model == "rpc":
-        rpcs = stack_rpcs(cameras)
-        rpc_a = jax.tree.map(lambda leaf: leaf[batch["cam_a"]], rpcs)
-        rpc_b = jax.tree.map(lambda leaf: leaf[batch["cam_b"]], rpcs)
-        pts3d, _ = rpc_triangulation(
-            rpc_a, rpc_b, jnp.asarray(batch["pts_a"]), jnp.asarray(batch["pts_b"])
-        )
-    else:
+    # chunk the (pair, track) duo axis: a 100-view scene produces millions
+    # of duos and the per-duo RPC gather + Newton temps (~3 KB f64 each)
+    # blew HBM on the first config-#4 scale run (round 3). Chunks pad to a
+    # fixed size so every slice reuses one compilation; per-chunk segment
+    # sums accumulate on the host.
+    B = int(batch["track"].shape[0])
+    chunk = int(os.environ.get("SATBA_TRIANG_CHUNK", 500_000))
+    if cam_model != "rpc":
         P = jnp.stack([jnp.asarray(c) for c in cameras])
-        pts3d = jax.vmap(
-            lambda ca, cb, a, b: linear_triangulation(P[ca], P[cb], a, b)
-        )(jnp.asarray(batch["cam_a"]), jnp.asarray(batch["cam_b"]),
-          jnp.asarray(batch["pts_a"]), jnp.asarray(batch["pts_b"]))
+    else:
+        rpcs = stack_rpcs(cameras)
 
-    sums = jax.ops.segment_sum(pts3d, track, num_segments=n_pts)
-    counts = jax.ops.segment_sum(jnp.ones_like(track, dtype=pts3d.dtype), track, num_segments=n_pts)
-    avg = sums / jnp.maximum(counts, 1.0)[:, None]
-    return np.asarray(avg)
+    sums = np.zeros((n_pts, 3))
+    counts = np.zeros(n_pts)
+    for s in range(0, B, chunk):
+        n_real = min(chunk, B - s) if B > chunk else B
+        pad = (chunk - n_real) if B > chunk else 0
+        sl = slice(s, s + n_real)
+        cam_a = np.pad(batch["cam_a"][sl], (0, pad))
+        cam_b = np.pad(batch["cam_b"][sl], (0, pad))
+        pts_a = np.pad(batch["pts_a"][sl], ((0, pad), (0, 0)))
+        pts_b = np.pad(batch["pts_b"][sl], ((0, pad), (0, 0)))
+        # padded duos accumulate into the sentinel segment n_pts (dropped)
+        track = np.pad(batch["track"][sl], (0, pad), constant_values=n_pts)
+        if cam_model == "rpc":
+            rpc_a = jax.tree.map(lambda leaf: leaf[cam_a], rpcs)
+            rpc_b = jax.tree.map(lambda leaf: leaf[cam_b], rpcs)
+            pts3d, _ = rpc_triangulation(
+                rpc_a, rpc_b, jnp.asarray(pts_a), jnp.asarray(pts_b)
+            )
+        else:
+            pts3d = jax.vmap(
+                lambda ca, cb, a, b: linear_triangulation(P[ca], P[cb], a, b)
+            )(jnp.asarray(cam_a), jnp.asarray(cam_b),
+              jnp.asarray(pts_a), jnp.asarray(pts_b))
+        t = jnp.asarray(track)
+        sums += np.asarray(
+            jax.ops.segment_sum(pts3d, t, num_segments=n_pts + 1)
+        )[:n_pts]
+        counts += np.asarray(
+            jax.ops.segment_sum(jnp.ones_like(t, dtype=pts3d.dtype), t, num_segments=n_pts + 1)
+        )[:n_pts]
+    return sums / np.maximum(counts, 1.0)[:, None]

@@ -131,6 +131,9 @@ def main():
         "FT_sift_matching": "epipolar_based",
         "clean_outliers": True, "save_figures": False,
     }
+    # SATBA_SCALE_RESET=0 reuses the previous run's feature/match caches
+    # (iterating on a post-matching failure without re-matching)
+    cfg["reset"] = os.environ.get("SATBA_SCALE_RESET", "1") == "1"
     cfg_path = os.path.join(root, "config.json")
     with open(cfg_path, "w") as f:
         json.dump(cfg, f)
