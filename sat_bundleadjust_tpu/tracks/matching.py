@@ -173,6 +173,65 @@ def init_F_pair_to_match(h, w, rpc_i, rpc_j):
     return affine_fundamental_matrix(matches)
 
 
+def init_F_pairs_batched(pairs_to_match, images):
+    """Affine fundamental matrices for EVERY pair in one vmapped device
+    call (plus a trivial per-pair numpy SVD).
+
+    The per-pair init_F_pair_to_match loop costs ~0.3-0.5 s of dispatch
+    overhead per pair — ~8 minutes before matching even starts on a
+    100-view scene's 1350 pairs (found by the round-3 config-#4 scale
+    run). The virtual-match grids (5^3 points per pair,
+    s2p/rpc_utils.matches_from_rpc) batch over a leading pair axis
+    instead. Reference counterpart: ft_pipeline.py:139-152."""
+    import jax
+    import jax.numpy as jnp
+
+    from sat_bundleadjust_tpu.models.rpc import (
+        rpc_localization, rpc_projection, stack_rpcs,
+    )
+    from sat_bundleadjust_tpu.utils.hostdev import small_compute
+
+    n = 5
+    P = len(pairs_to_match)
+    if P == 0:
+        return []
+    cols = np.zeros((P, n * n * n))
+    rows = np.zeros((P, n * n * n))
+    alts = np.zeros((P, n * n * n))
+    for k, (i, j) in enumerate(pairs_to_match):
+        h = images[i].offset["height"]
+        w = images[i].offset["width"]
+        m = float(np.asarray(images[i].rpc.alt_offset)) - float(np.asarray(images[i].rpc.alt_scale))
+        M = float(np.asarray(images[i].rpc.alt_offset)) + float(np.asarray(images[i].rpc.alt_scale))
+        from sat_bundleadjust_tpu.models.cameras import generate_point_mesh
+
+        c, r, a = generate_point_mesh(
+            [(1.0 / (2 * n)) * w, ((2 * n - 1.0) / (2 * n)) * w, n],
+            [(1.0 / (2 * n)) * h, ((2 * n - 1.0) / (2 * n)) * h, n],
+            [m, M, n],
+        )
+        cols[k], rows[k], alts[k] = c, r, a
+
+    rpcs_i = stack_rpcs([images[i].rpc for (i, _) in pairs_to_match])
+    rpcs_j = stack_rpcs([images[j].rpc for (_, j) in pairs_to_match])
+
+    def one(ri, rj, c, r, a):
+        lon, lat = rpc_localization(ri, c, r, a)
+        x1, y1 = rpc_projection(ri, lon, lat, a)
+        x2, y2 = rpc_projection(rj, lon, lat, a)
+        return x1, y1, x2, y2
+
+    with small_compute():
+        x1, y1, x2, y2 = jax.jit(jax.vmap(one))(
+            rpcs_i, rpcs_j, jnp.asarray(cols), jnp.asarray(rows), jnp.asarray(alts)
+        )
+    x1, y1, x2, y2 = (np.asarray(v) for v in (x1, y1, x2, y2))
+    return [
+        affine_fundamental_matrix(np.stack([x1[k], y1[k], x2[k], y2[k]], axis=1))
+        for k in range(P)
+    ]
+
+
 def affine_fundamental_matrix(matches):
     """Gold Standard affine F (reference: s2p/estimation.py:114-154)."""
     X = matches[:, [2, 3, 0, 1]]

@@ -121,13 +121,10 @@ class FeatureTracksPipeline:
     def run_feature_matching(self):
         """Reference: ft_pipeline.py:134-163."""
         if self.config["FT_sift_matching"] == "epipolar_based":
-            F = []
-            for (i, j) in self.pairs_to_match:
-                h = self.images[i].offset["height"]
-                w = self.images[i].offset["width"]
-                F.append(
-                    ft_matching.init_F_pair_to_match(h, w, self.images[i].rpc, self.images[j].rpc)
-                )
+            # one vmapped device call for every pair's virtual-match grid
+            # (the per-pair loop costs ~0.3-0.5 s dispatch overhead each —
+            # minutes at hundreds of pairs; see init_F_pairs_batched)
+            F = ft_matching.init_F_pairs_batched(self.pairs_to_match, self.images)
         else:
             F = None
         self.pairwise_matches = ft_matching.match_stereo_pairs(

@@ -140,3 +140,37 @@ def test_ransac_numpy_fallback_matches_jax():
     assert np.sum(inl_np[out]) < 8
     assert np.sum(inl_jx[out]) < 8
     assert inl_np.sum() > 90 and inl_jx.sum() > 90
+
+
+def test_init_F_pairs_batched_matches_per_pair():
+    """The one-call batched F initialization must reproduce the per-pair
+    init_F_pair_to_match (round 3: the per-pair loop cost minutes at
+    hundreds of pairs)."""
+    import numpy as np
+
+    from sat_bundleadjust_tpu.models.cameras import SatelliteImage
+    from sat_bundleadjust_tpu.tracks.matching import (
+        init_F_pair_to_match, init_F_pairs_batched,
+    )
+    from sat_bundleadjust_tpu.utils.demo import make_synthetic_rpc
+
+    ims = []
+    h, w = 300, 400
+    for k in range(3):
+        rpc = make_synthetic_rpc(
+            view_dx=200.0 * np.cos(2.1 * k), view_dy=200.0 * np.sin(2.1 * k),
+            img_halfsize=(w / 2.0, h / 2.0),
+        )
+        im = SatelliteImage("im{}.tif".format(k), rpc)
+        im.offset = {"col0": 0, "row0": 0, "height": h, "width": w}
+        ims.append(im)
+    pairs = [(0, 1), (0, 2), (1, 2)]
+    batched = init_F_pairs_batched(pairs, ims)
+    for (i, j), Fb in zip(pairs, batched):
+        Fs = init_F_pair_to_match(h, w, ims[i].rpc, ims[j].rpc)
+        # F is scale-invariant: compare normalized
+        Fb_n = Fb / np.linalg.norm(Fb)
+        Fs_n = Fs / np.linalg.norm(Fs)
+        if np.sum(Fb_n * Fs_n) < 0:
+            Fs_n = -Fs_n
+        np.testing.assert_allclose(Fb_n, Fs_n, atol=1e-9)
