@@ -203,8 +203,9 @@ class BASolver:
 
     Building residual/Jacobian closures and the jitted LM driver is
     expensive (especially with remote compilation); this object caches them
-    per robust-loss configuration so repeated solves (warmup + timed runs,
-    soft-L1 then L2 rounds on the same structure) reuse compilations."""
+    per solver configuration — and because the robust loss and f_scale are
+    traced operands, repeated solves (warmup + timed runs, soft-L1 then L2
+    rounds on the same structure) all reuse ONE compilation."""
 
     def __init__(self, p, schur_mode=None, jac_dtype=None):
         self.p = p
@@ -213,8 +214,11 @@ class BASolver:
         self._runs = {}
 
     def _get_run(self, cfg):
-        key = (cfg.loss, cfg.f_scale, cfg.ftol, cfg.xtol, cfg.schur_mode,
-               cfg.cg_iters, cfg.cg_rtol)
+        # the robust loss and f_scale are traced operands of the compiled
+        # run (ops/lm.build_solve), NOT compile keys: the soft-L1 and L2
+        # rounds of a pipeline solve share one program
+        key = (cfg.ftol, cfg.xtol, cfg.schur_mode,
+               cfg.cg_iters, cfg.cg_rtol, cfg.tie_tail)
         if key not in self._runs:
             self._runs[key] = lm_ops.build_solve(
                 self.residual_fn, self.jac_fn, self.p.n_cam, self.p.n_pts, self.prob, cfg

@@ -199,16 +199,24 @@ def _inv3x3(V):
     return inv / det[..., None, None]
 
 
-def _normal_blocks(r, J_cam, J_pt, prob: LMProblem, n_cam, n_pts, cfg: LMConfig):
+def _normal_blocks(r, J_cam, J_pt, prob: LMProblem, n_cam, n_pts, cfg: LMConfig,
+                   loss=None, f_scale=None):
     """Build gradient and normal-equation blocks from per-obs residuals.
 
     r: (K, 2); J_cam: (K, 2, P); J_pt: (K, 2, 3). The normal equations are
     built in the Jacobian's dtype (f32 by default — see ops/jacobians.py);
     the residual is cast down here, which only loses digits the normal
-    equations cannot represent anyway."""
+    equations cannot represent anyway.
+
+    loss/f_scale override cfg's static values with traced operands (integer
+    loss id / scalar) so one compiled program serves every robust loss."""
     dt = J_cam.dtype
+    if loss is None:
+        loss = cfg.loss
+    if f_scale is None:
+        f_scale = cfg.f_scale
     # robust IRLS scaling (computed on the full-precision residual)
-    s = loss_scale(cfg.loss, r, cfg.f_scale).astype(dt)  # (K, 2)
+    s = loss_scale(loss, r, f_scale).astype(dt)  # (K, 2)
     r = r.astype(dt) * s
     J_cam = J_cam * s[..., None]
     J_pt = J_pt * s[..., None]
@@ -442,9 +450,14 @@ def _cg_schur_solve(U_d, W, Vinv, b, prob: LMProblem, n_cam, cam_opt_mask, cg_it
 
 
 def lm_step(r, J_cam, J_pt, lam, prob: LMProblem, n_cam, n_pts, cfg: LMConfig,
-            psum_axis=None):
-    """One damped Schur-complement solve. Returns (dcam (M,P), dpt (N,3))."""
-    r, g_cam, g_pt, U, V, W = _normal_blocks(r, J_cam, J_pt, prob, n_cam, n_pts, cfg)
+            psum_axis=None, loss=None, f_scale=None):
+    """One damped Schur-complement solve. Returns (dcam (M,P), dpt (N,3)).
+
+    loss/f_scale: optional traced overrides of cfg.loss/cfg.f_scale (see
+    _normal_blocks)."""
+    r, g_cam, g_pt, U, V, W = _normal_blocks(
+        r, J_cam, J_pt, prob, n_cam, n_pts, cfg, loss=loss, f_scale=f_scale
+    )
     if psum_axis is not None:
         g_cam = jax.lax.psum(g_cam, psum_axis)
         # U is also psum'd inside the CG matvec path via U_for_prec; for the
@@ -499,14 +512,15 @@ def build_solve(residual_fn, jac_fn, n_cam, n_pts, prob: LMProblem, cfg: LMConfi
     to the device — important both for XLA scheduling and for
     remote/tunneled devices where every dispatch pays round-trip latency.
 
-    Returns run(cam, pts, max_iter) -> (cam, pts, scalars, errs) with
-    scalars = [lam, cost, n_iter, cost0] and errs = stacked (2, K)
-    initial/final reprojection errors (packed so the host fetch is two
-    transfers, not six tunnel round trips).
-    Keep the returned callable around to reuse its compilation cache."""
+    Returns run(cam, pts, max_iter, loss_id, f_scale) -> (cam, pts,
+    scalars, errs) with scalars = [lam, cost, n_iter, cost0] and errs =
+    stacked (2, K) initial/final reprojection errors (packed so the host
+    fetch is two transfers, not six tunnel round trips).
 
-    def cost_of(r):
-        return loss_cost(cfg.loss, r, cfg.f_scale)
+    The robust loss enters as a TRACED integer id + scalar f_scale
+    (ops/robust.loss_id), not a compile key: the pipeline's soft-L1 round,
+    outlier probe and L2 round share ONE compiled program per problem
+    shape. Keep the returned callable around to reuse its compilation."""
 
     if not cfg.cg_iters:
         cfg = cfg._replace(cg_iters=max(15, min(60, n_cam // 2)))
@@ -514,7 +528,10 @@ def build_solve(residual_fn, jac_fn, n_cam, n_pts, prob: LMProblem, cfg: LMConfi
     n_obs = int(prob.pts2d.shape[0])
 
     @jax.jit
-    def run(cam, pts, max_iter):
+    def run(cam, pts, max_iter, lid, f_scale):
+        def cost_of(r):
+            return loss_cost(lid, r, f_scale)
+
         r0 = residual_fn(cam, pts)
         cost0 = cost_of(r0)
         # absolute floor: cost is in squared (weighted) pixels; 1e-14 px^2
@@ -526,7 +543,10 @@ def build_solve(residual_fn, jac_fn, n_cam, n_pts, prob: LMProblem, cfg: LMConfi
         def body(state):
             cam, pts, lam, cost, n_iter, done = state
             r, J_cam, J_pt = jac_fn(cam, pts)
-            dcam, dpt = lm_step(r, J_cam, J_pt, lam, prob, n_cam, n_pts, cfg)
+            dcam, dpt = lm_step(
+                r, J_cam, J_pt, lam, prob, n_cam, n_pts, cfg,
+                loss=lid, f_scale=f_scale,
+            )
             cam_new = cam + dcam
             pts_new = pts + dpt
             new_cost = cost_of(residual_fn(cam_new, pts_new))
@@ -587,10 +607,15 @@ def solve(residual_fn, jac_fn, cam0, pts0, prob: LMProblem, cfg: LMConfig, run=N
     compilation across solves."""
     if run is None:
         run = build_solve(residual_fn, jac_fn, cam0.shape[0], pts0.shape[0], prob, cfg)
-    # max_iter is a dynamic operand so solves with different iteration caps
-    # share one compiled program (compilation is expensive on remote devices)
+    # max_iter, the robust-loss id and f_scale are dynamic operands so
+    # solves with different iteration caps AND different losses share one
+    # compiled program (compilation is expensive on remote devices)
+    from sat_bundleadjust_tpu.ops.robust import loss_id
+
     cam, pts, scalars, errs = run(
-        jnp.asarray(cam0), jnp.asarray(pts0), jnp.asarray(cfg.max_iter)
+        jnp.asarray(cam0), jnp.asarray(pts0), jnp.asarray(cfg.max_iter),
+        jnp.asarray(loss_id(cfg.loss), jnp.int32),
+        jnp.asarray(cfg.f_scale, jnp.float32),
     )
     # two host transfers total (scalars vector + stacked errors) instead of
     # one ~28 ms tunnel round trip per scalar

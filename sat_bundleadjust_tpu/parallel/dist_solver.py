@@ -30,7 +30,7 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from sat_bundleadjust_tpu.ops import lm as lm_ops
-from sat_bundleadjust_tpu.ops.robust import loss_cost
+from sat_bundleadjust_tpu.ops.robust import loss_cost, loss_id
 from sat_bundleadjust_tpu.parallel.mesh import OBS_AXIS, global_put, make_mesh
 
 
@@ -286,13 +286,16 @@ class DistributedLM:
             )
             return r, J_cam, J_pt
 
-        def solve_body(obs, cam_tail, rpcs, cam_opt_mask, pts_opt_mask, cam, pts, max_iter):
+        def solve_body(obs, cam_tail, rpcs, cam_opt_mask, pts_opt_mask, cam, pts,
+                       max_iter, lid, f_scale):
             """The whole damped-LM loop on-mesh: mirrors ops/lm.build_solve
-            but with psum-reduced camera system, point step and cost."""
+            but with psum-reduced camera system, point step and cost. The
+            robust loss (integer id) and f_scale are traced operands, so
+            the soft-L1 and L2 pipeline rounds share this one program."""
             prob = local_prob(obs, cam_opt_mask, pts_opt_mask)
 
             def cost_of(r):
-                return jax.lax.psum(loss_cost(cfg_local.loss, r, cfg_local.f_scale), OBS_AXIS)
+                return jax.lax.psum(loss_cost(lid, r, f_scale), OBS_AXIS)
 
             n_loc = obs["track_global"].shape[-1]
             local_of_global = obs["local_of_global"][0]  # (n_pts,), sentinel L
@@ -301,7 +304,7 @@ class DistributedLM:
                 r, J_cam, J_pt = local_jacobians(obs, cam_tail, rpcs, cam, pts)
                 dcam, dpt_loc = lm_ops.lm_step(
                     r, J_cam, J_pt, lam, prob, cam.shape[0], n_loc, cfg_local,
-                    psum_axis=OBS_AXIS,
+                    psum_axis=OBS_AXIS, loss=lid, f_scale=f_scale,
                 )
                 # rejoin the replicated point state: gather each global
                 # track's step from the owning shard's local solution (zero
@@ -362,12 +365,12 @@ class DistributedLM:
             errs = jnp.stack([err0, err_fin]).astype(jnp.float32)[None]
             return cam, pts, scalars, errs
 
-        def cost_body(obs, cam_tail, rpcs, cam, pts):
+        def cost_body(obs, cam_tail, rpcs, cam, pts, lid, f_scale):
             r = local_residuals(obs, cam_tail, rpcs, cam, pts)
-            return jax.lax.psum(loss_cost(cfg_local.loss, r, cfg_local.f_scale), OBS_AXIS)
+            return jax.lax.psum(loss_cost(lid, r, f_scale), OBS_AXIS)
 
         in_specs_solve = (
-            obs_leaf_specs, P(), rpc_spec, P(), P(), P(), P(), P(),
+            obs_leaf_specs, P(), rpc_spec, P(), P(), P(), P(), P(), P(), P(),
         )
         self._solve = jax.jit(
             jax.shard_map(
@@ -376,7 +379,7 @@ class DistributedLM:
                 check_vma=False,
             )
         )
-        in_specs_cost = (obs_leaf_specs, P(), rpc_spec, P(), P())
+        in_specs_cost = (obs_leaf_specs, P(), rpc_spec, P(), P(), P(), P())
         self._cost = jax.jit(
             jax.shard_map(
                 cost_body, mesh=self.mesh, in_specs=in_specs_cost,
@@ -384,8 +387,16 @@ class DistributedLM:
             )
         )
 
+    def _loss_operands(self, cfg=None):
+        cfg = cfg or self.cfg
+        return (
+            jnp.asarray(loss_id(cfg.loss), jnp.int32),
+            jnp.asarray(cfg.f_scale, jnp.float32),
+        )
+
     def cost(self, cam, pts):
-        c = self._cost(self.obs, self.cam_tail, self.rpcs, cam, pts)
+        lid, fs = self._loss_operands()
+        c = self._cost(self.obs, self.cam_tail, self.rpcs, cam, pts, lid, fs)
         return float(np.asarray(c).reshape(-1)[0])
 
     def _gather_errs(self, errs_sharded):
@@ -406,15 +417,22 @@ class DistributedLM:
             out[i, self.obs_index[mask]] = err[:, i, :][mask]
         return out
 
-    def solve(self, cam0, pts0):
+    def solve(self, cam0, pts0, cfg=None):
         """Full LM solve in ONE device dispatch (compiled while_loop on the
         mesh). Returns (cam, pts, info); info carries per-observation
-        reprojection errors before/after in original observation order."""
+        reprojection errors before/after in original observation order.
+
+        cfg: optional per-round LMConfig override — its max_iter, loss and
+        f_scale are traced operands, so rounds with different robust losses
+        reuse this instance's single compiled program."""
+        round_cfg = cfg or self.cfg
+        lid, fs = self._loss_operands(round_cfg)
         cam = global_put(cam0, self.repl)
         pts = global_put(pts0, self.repl)
         cam, pts, scalars, errs = self._solve(
             self.obs, self.cam_tail, self.rpcs, self.cam_opt_mask,
-            self.pts_opt_mask, cam, pts, jnp.asarray(self.cfg.max_iter),
+            self.pts_opt_mask, cam, pts, jnp.asarray(round_cfg.max_iter),
+            lid, fs,
         )
         lam, cost, n_iter, cost0 = np.asarray(scalars)
         errs = self._gather_errs(errs)  # (2, n_obs)
@@ -429,7 +447,8 @@ class DistributedLM:
         return cam, pts, info
 
 
-def run_ba_optimization_distributed(p, ls_params=None, verbose=False, mesh=None):
+def run_ba_optimization_distributed(p, ls_params=None, verbose=False, mesh=None,
+                                    solver=None):
     """Mesh-solved drop-in for ba.solver.run_ba_optimization: identical
     signature and return contract ((vars_init, vars_ba, err_init, err_ba,
     iterations)), so the pipeline's BA rounds (ba_pipeline.py:326-341 in the
@@ -439,7 +458,9 @@ def run_ba_optimization_distributed(p, ls_params=None, verbose=False, mesh=None)
     import time
 
     t0 = time.time()
-    (cam0, pts0), (cam, pts), info = run_distributed_ba(p, ls_params, mesh=mesh)
+    (cam0, pts0), (cam, pts), info = run_distributed_ba(
+        p, ls_params, mesh=mesh, solver=solver
+    )
     err_init, err_ba = info["err0"], info["err_fin"]
     if verbose:
         print(
@@ -461,9 +482,13 @@ def run_ba_optimization_distributed(p, ls_params=None, verbose=False, mesh=None)
     return (cam0, pts0), (cam, pts), np.asarray(err_init), np.asarray(err_ba), info["iterations"]
 
 
-def run_distributed_ba(p, ls_params=None, mesh=None):
-    """Distributed counterpart of ba.solver.run_ba_optimization for a
-    BAParams problem: shard its observation table over the mesh and solve."""
+def make_distributed_solver(p, ls_params=None, mesh=None):
+    """Shard a BAParams problem over the mesh and build its DistributedLM.
+
+    The returned solver's compiled program is loss-agnostic (the robust
+    loss is a traced operand), so the pipeline reuses ONE instance across
+    its soft-L1 / outlier-probe / L2 rounds while the problem structure is
+    unchanged."""
     from sat_bundleadjust_tpu.ba.solver import _obs_residual_fn, init_optimization_config
 
     ls = init_optimization_config(ls_params)
@@ -477,13 +502,28 @@ def run_distributed_ba(p, ls_params=None, mesh=None):
         p.pts_ind, p.cam_ind, p.pts2d, p.pts2d_w, p.n_pts, mesh.devices.size
     )
     obs_fn = _obs_residual_fn(p.cam_model, p.n_params)
-    solver = DistributedLM(
+    return DistributedLM(
         obs_fn, p.rpcs, p.cam_params[:, p.n_params :], sharded, p.n_cam, p.n_pts,
         p.cam_opt_mask, p.pts_opt_mask, cfg, mesh=mesh,
         n_params=p.n_params if p.cam_model == "rpc" else None,
     )
+
+
+def run_distributed_ba(p, ls_params=None, mesh=None, solver=None):
+    """Distributed counterpart of ba.solver.run_ba_optimization for a
+    BAParams problem: shard its observation table over the mesh and solve.
+    Pass a prebuilt `solver` (make_distributed_solver) to reuse its
+    sharding plan and compiled program across rounds."""
+    from sat_bundleadjust_tpu.ba.solver import init_optimization_config
+
+    if solver is None:
+        solver = make_distributed_solver(p, ls_params, mesh=mesh)
+    ls = init_optimization_config(ls_params)
+    round_cfg = solver.cfg._replace(
+        loss=ls["loss"], f_scale=float(ls["f_scale"]), max_iter=int(ls["max_iter"])
+    )
     cam0 = jnp.asarray(p.opt_block())
     pts0 = jnp.asarray(p.pts3d)
-    cam, pts, info = solver.solve(cam0, pts0)
-    info["n_shards"] = int(mesh.devices.size)
+    cam, pts, info = solver.solve(cam0, pts0, cfg=round_cfg)
+    info["n_shards"] = int(solver.mesh.devices.size)
     return (cam0, pts0), (cam, pts), info

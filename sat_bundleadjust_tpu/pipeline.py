@@ -300,16 +300,37 @@ class BundleAdjustmentPipeline:
     def _run_ba(self, ls_params, verbose=True):
         """Route one BA round through the single-device or the mesh solver
         (parallel/dist_solver.run_ba_optimization_distributed); both return
-        the same (vars_init, vars_ba, err_init, err_ba, iters) contract."""
+        the same (vars_init, vars_ba, err_init, err_ba, iters) contract.
+
+        The solver object is cached across rounds while the BAParams
+        instance is unchanged (rm_outliers returns the same object when
+        nothing was removed): the robust loss is a traced operand of the
+        compiled LM program, so the soft-L1 round, the outlier probe and
+        the L2 round then share ONE compilation — on a remote/tunneled TPU
+        each avoided recompile saves tens of seconds."""
         if self._distributed_solve(self.ba_params.n_obs):
             from sat_bundleadjust_tpu.parallel.dist_solver import (
+                make_distributed_solver,
                 run_ba_optimization_distributed,
             )
 
+            if getattr(self, "_dist_solver_p", None) is not self.ba_params:
+                self._dist_solver = make_distributed_solver(
+                    self.ba_params, ls_params, mesh=self.mesh
+                )
+                self._dist_solver_p = self.ba_params
             return run_ba_optimization_distributed(
-                self.ba_params, ls_params, verbose=verbose, mesh=self.mesh
+                self.ba_params, ls_params, verbose=verbose, mesh=self.mesh,
+                solver=self._dist_solver,
             )
-        return run_ba_optimization(self.ba_params, ls_params, verbose=verbose)
+        if getattr(self, "_ba_solver_p", None) is not self.ba_params:
+            from sat_bundleadjust_tpu.ba.solver import BASolver
+
+            self._ba_solver = BASolver(self.ba_params)
+            self._ba_solver_p = self.ba_params
+        return run_ba_optimization(
+            self.ba_params, ls_params, verbose=verbose, solver=self._ba_solver
+        )
 
     def run_ba_softL1(self):
         """Reference: ba_pipeline.py:326-333."""

@@ -17,12 +17,19 @@ dispatch). Host-side RANSAC/elbow finalize runs on the survivors in both
 paths."""
 
 import os
+import time
 
 import numpy as np
 
 from sat_bundleadjust_tpu.ops.match import match_pair
 from sat_bundleadjust_tpu.utils import geo as geo_utils
 from sat_bundleadjust_tpu.utils.io import get_id
+
+# SATBA_MATCH_TIMING=1 prints a per-stage wall breakdown of
+# match_stereo_pairs (cache/bbox prep, device 2-NN, host finalize,
+# assembly) — the tool that decomposed the matching stage at the
+# 1350-pair scale runs (BENCHMARKS.md).
+_TIMING_ON = os.environ.get("SATBA_MATCH_TIMING", "0") == "1"
 
 
 def keypoints_to_utm_coords(im_features, im_rpc, im_offset, alt):
@@ -308,6 +315,8 @@ def match_stereo_pairs(pairs_to_match, features, footprints, utm_coords, tracks_
         mesh = make_mesh(devices=local_devs) if len(local_devs) > 1 else False
 
     # pass 1: resolve caches, restrict uncached pairs to their UTM bbox
+    _timing = {"prep_s": 0.0, "nn_s": 0.0, "finalize_s": 0.0, "assemble_s": 0.0}
+    t_prep = time.time()
     resolved = [None] * len(pairs_to_match)  # matches_ij or None
     npy_ids = [None] * len(pairs_to_match)
     from_cache = [False] * len(pairs_to_match)
@@ -356,6 +365,8 @@ def match_stereo_pairs(pairs_to_match, features, footprints, utm_coords, tracks_
         fj = np.asarray(load(features[j])[idx_j])
         to_match.append((idx, fi, fj, idx_i, idx_j, np.asarray(utm_i), np.asarray(utm_j)))
 
+    _timing["prep_s"] += time.time() - t_prep
+
     # pass 2: the O(N^2) 2-NN stage — sharded over the mesh when possible
     method_cfg = tracks_config["FT_sift_matching"]
     mesh_ok = method_cfg in ("epipolar_based", "bruteforce", "flann", "absolute")
@@ -370,6 +381,7 @@ def match_stereo_pairs(pairs_to_match, features, footprints, utm_coords, tracks_
             None if method_cfg in ("bruteforce", "flann") else F[idx]
             for (idx, *_rest) in to_match
         ]
+        t_nn = time.time()
         if not use_mesh:
             # one batched Pallas dispatch + one packed fetch for ALL pairs
             # on a single TPU (a tunneled chip pays ~100 ms of round trips
@@ -391,11 +403,15 @@ def match_stereo_pairs(pairs_to_match, features, footprints, utm_coords, tracks_
             nn_results = match_pairs_mesh(
                 [(fi, fj) for (_, fi, fj, *_r) in to_match], pair_F, tracks_config, mesh
             )
+        _timing["nn_s"] += time.time() - t_nn
+        t_fin = time.time()
         for (idx, fi, fj, idx_i, idx_j, utm_i, utm_j), (nn, acc) in zip(to_match, nn_results):
             resolved[idx] = _finalize_pair_from_nn(
                 fi, fj, idx_i, idx_j, nn, acc, utm_i, utm_j, tracks_config
             )
+        _timing["finalize_s"] += time.time() - t_fin
     else:
+        t_fin = time.time()
         for (idx, fi, fj, idx_i, idx_j, utm_i, utm_j) in to_match:
             i, j = pairs_to_match[idx]
             poly_i = geo_utils.geojson_to_polygon(footprints[i]["geojson"])
@@ -405,6 +421,7 @@ def match_stereo_pairs(pairs_to_match, features, footprints, utm_coords, tracks_
                 poly_i.intersection(poly_j), tracks_config, F[idx]
             )
             resolved[idx] = matches_ij
+        _timing["finalize_s"] += time.time() - t_fin
 
     if multiproc:
         # publish this host's pair results (empties included, so peers can
@@ -425,6 +442,7 @@ def match_stereo_pairs(pairs_to_match, features, footprints, utm_coords, tracks_
     # pass 3: assemble, print, write caches (save semantics as the
     # reference, ft_match.py:327-336: cached matches are re-saved when the
     # output cache location differs from where they were loaded)
+    t_pass3 = time.time()
     kp_rows, im_rows = [], []
     for idx, (i, j) in enumerate(pairs_to_match):
         matches_ij = resolved[idx]
@@ -435,8 +453,13 @@ def match_stereo_pairs(pairs_to_match, features, footprints, utm_coords, tracks_
         else:
             print("{:4} matches in pair {}".format(n_matches, (i, j)), flush=True)
         if n_matches > 0:
-            kp_rows.extend(np.asarray(matches_ij).tolist())
-            im_rows.extend([[i, j]] * n_matches)
+            # array blocks concatenated once at the end: at millions of
+            # total matches a Python-list assembly (tolist + np.array)
+            # costs tens of seconds of pure interpreter time
+            kp_rows.append(np.asarray(matches_ij, dtype=np.int64))
+            im_rows.append(np.broadcast_to(
+                np.array([i, j], dtype=np.int64), (n_matches, 2)
+            ))
             if tracks_config.get("FT_save") and out_dir:
                 out_path = os.path.join(out_dir, "pairwise_matches", npy_ids[idx])
                 if multiproc:
@@ -456,6 +479,16 @@ def match_stereo_pairs(pairs_to_match, features, footprints, utm_coords, tracks_
                     os.makedirs(os.path.dirname(out_path), exist_ok=True)
                     np.save(out_path, np.asarray(matches_ij))
 
+    _timing["assemble_s"] += time.time() - t_pass3
+    if _TIMING_ON:
+        print(
+            "[match timing] cache/bbox {:.1f}s | 2-NN device {:.1f}s | "
+            "finalize (RANSAC+UTM) {:.1f}s | assemble+write {:.1f}s".format(
+                _timing["prep_s"], _timing["nn_s"], _timing["finalize_s"],
+                _timing["assemble_s"],
+            ),
+            flush=True,
+        )
     if not kp_rows:
         return np.zeros((0, 4), dtype=np.int64)
-    return np.hstack((np.array(kp_rows), np.array(im_rows))).astype(np.int64)
+    return np.hstack((np.concatenate(kp_rows), np.concatenate(im_rows)))
