@@ -276,6 +276,50 @@ def _finalize_pair_from_nn(fi, fj, idx_i, idx_j, nn_idx, accepted, utm_i, utm_j,
     return matches_ij
 
 
+def _finalize_pairs_from_nn_batched(items, nn_results, tracks_config):
+    """Batched finalize of many pairs: identical semantics to
+    _finalize_pair_from_nn per pair, but the RANSAC runs vectorized
+    across ALL pairs (ops/ransac.ransac_fundamental_many) — the per-pair
+    loop cost 223 s at the 1350-pair scale run (BENCHMARKS.md round 3).
+
+    items: list of (idx, fi, fj, idx_i, idx_j, utm_i, utm_j) tuples;
+    nn_results: list of (nn_idx, accepted). Returns a list of matches_ij
+    arrays (or None), aligned with items."""
+    from sat_bundleadjust_tpu.ops.ransac import MIN_SAMPLES, ransac_fundamental_many
+
+    thr = tracks_config["FT_ransac"]
+    prelim = []
+    pts1_list, pts2_list, ransac_pos = [], [], []
+    for pos, ((_idx, fi, fj, *_rest), (nn, acc)) in enumerate(zip(items, nn_results)):
+        ii = np.where(np.asarray(acc))[0]
+        m = np.stack([ii, np.asarray(nn)[ii]], axis=1).astype(np.int64)
+        prelim.append(m if m.shape[0] > 0 else None)
+        if thr is not None and m.shape[0] >= MIN_SAMPLES:
+            pts1_list.append(fi[m[:, 0], :2])
+            pts2_list.append(fj[m[:, 1], :2])
+            ransac_pos.append(pos)
+
+    if pts1_list:
+        for pos, (_F, inl) in zip(
+            ransac_pos, ransac_fundamental_many(pts1_list, pts2_list, thr=thr)
+        ):
+            if inl is None or inl.sum() == 0:
+                prelim[pos] = None
+            else:
+                prelim[pos] = prelim[pos][inl]
+
+    results = []
+    for pos, (_idx, _fi, _fj, idx_i, idx_j, utm_i, utm_j) in enumerate(items):
+        m = prelim[pos]
+        if m is None or m.shape[0] == 0:
+            results.append(None)
+            continue
+        matches_ij = np.stack([idx_i[m[:, 0]], idx_j[m[:, 1]]], axis=1)
+        matches_ij = filter_matches_inconsistent_utm_coords(matches_ij, utm_i, utm_j)
+        results.append(matches_ij)
+    return results
+
+
 def match_stereo_pairs(pairs_to_match, features, footprints, utm_coords, tracks_config,
                        F=None, thread_idx=None, mesh=None):
     """Match all pairs; returns (K, 4) rows (kp_i, kp_j, im_i, im_j).
@@ -343,9 +387,11 @@ def match_stereo_pairs(pairs_to_match, features, footprints, utm_coords, tracks_
             remote.append(idx)
             continue
 
+        t_sub = time.time()
         poly_i = geo_utils.geojson_to_polygon(footprints[i]["geojson"])
         poly_j = geo_utils.geojson_to_polygon(footprints[j]["geojson"])
         utm_polygon = poly_i.intersection(poly_j)
+        _timing["prep_poly_s"] = _timing.get("prep_poly_s", 0.0) + time.time() - t_sub
         if utm_polygon.coords.shape[0] < 3:
             continue
         utm_i, utm_j = load(utm_coords[i]), load(utm_coords[j])
@@ -361,9 +407,11 @@ def match_stereo_pairs(pairs_to_match, features, footprints, utm_coords, tracks_
         )
         if len(idx_i) == 0 or len(idx_j) == 0:
             continue
+        t_sub = time.time()
         fi = np.asarray(load(features[i])[idx_i])
         fj = np.asarray(load(features[j])[idx_j])
         to_match.append((idx, fi, fj, idx_i, idx_j, np.asarray(utm_i), np.asarray(utm_j)))
+        _timing["prep_io_s"] = _timing.get("prep_io_s", 0.0) + time.time() - t_sub
 
     _timing["prep_s"] += time.time() - t_prep
 
@@ -405,10 +453,10 @@ def match_stereo_pairs(pairs_to_match, features, footprints, utm_coords, tracks_
             )
         _timing["nn_s"] += time.time() - t_nn
         t_fin = time.time()
-        for (idx, fi, fj, idx_i, idx_j, utm_i, utm_j), (nn, acc) in zip(to_match, nn_results):
-            resolved[idx] = _finalize_pair_from_nn(
-                fi, fj, idx_i, idx_j, nn, acc, utm_i, utm_j, tracks_config
-            )
+        for (idx, *_rest), matches_ij in zip(
+            to_match, _finalize_pairs_from_nn_batched(to_match, nn_results, tracks_config)
+        ):
+            resolved[idx] = matches_ij
         _timing["finalize_s"] += time.time() - t_fin
     else:
         t_fin = time.time()
@@ -482,10 +530,12 @@ def match_stereo_pairs(pairs_to_match, features, footprints, utm_coords, tracks_
     _timing["assemble_s"] += time.time() - t_pass3
     if _TIMING_ON:
         print(
-            "[match timing] cache/bbox {:.1f}s | 2-NN device {:.1f}s | "
-            "finalize (RANSAC+UTM) {:.1f}s | assemble+write {:.1f}s".format(
-                _timing["prep_s"], _timing["nn_s"], _timing["finalize_s"],
-                _timing["assemble_s"],
+            "[match timing] cache/bbox {:.1f}s (poly {:.1f}s, feat io {:.1f}s) | "
+            "2-NN device {:.1f}s | finalize (RANSAC+UTM) {:.1f}s | "
+            "assemble+write {:.1f}s".format(
+                _timing["prep_s"], _timing.get("prep_poly_s", 0.0),
+                _timing.get("prep_io_s", 0.0), _timing["nn_s"],
+                _timing["finalize_s"], _timing["assemble_s"],
             ),
             flush=True,
         )

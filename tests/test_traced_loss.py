@@ -93,3 +93,63 @@ def test_distributed_solver_reuse_across_losses():
         np.testing.assert_allclose(
             np.mean(err_d), np.mean(err_s), atol=1e-3
         )
+
+
+def test_ransac_many_matches_per_pair_numpy():
+    """ransac_fundamental_many must be bit-identical to the per-pair numpy
+    RANSAC path (same sampling, dtypes and refit) for every pair."""
+    from sat_bundleadjust_tpu.ops.ransac import _ransac_numpy, ransac_fundamental_many
+
+    rng = np.random.RandomState(3)
+    pts1_list, pts2_list = [], []
+    for b, n in enumerate([60, 200, 8, 500]):
+        # points related by a random fundamental-compatible affine map +
+        # noise, with 20% gross outliers
+        p1 = rng.rand(n, 2) * 1000
+        A = np.eye(2) + rng.randn(2, 2) * 0.01
+        t = rng.randn(2) * 5
+        p2 = p1 @ A.T + t + rng.randn(n, 2) * 0.05
+        n_out = max(1, n // 5)
+        p2[:n_out] += rng.randn(n_out, 2) * 50
+        pts1_list.append(p1)
+        pts2_list.append(p2)
+
+    many = ransac_fundamental_many(pts1_list, pts2_list, thr=0.3, seed=0, adaptive=False)
+    for (p1, p2, (F_m, inl_m)) in zip(pts1_list, pts2_list, many):
+        valid = np.isfinite(p1[:, 0]) & np.isfinite(p2[:, 0])
+        F_s, inl_s = _ransac_numpy(
+            p1.astype(np.float64), p2.astype(np.float64), valid, 0.3, 0, 512, True
+        )
+        if F_s is None:
+            assert F_m is None
+            continue
+        np.testing.assert_array_equal(inl_m, inl_s)
+        # F is defined up to sign (SVD null-vector ambiguity)
+        sign = np.sign(np.sum(F_m * F_s)) or 1.0
+        np.testing.assert_allclose(sign * F_m, F_s, rtol=1e-4, atol=1e-7)
+
+
+def test_ransac_many_adaptive_quality():
+    """The adaptive stopping rule must find (nearly) the same inlier sets
+    as the fixed-512 sweep on both clean and contaminated pairs."""
+    from sat_bundleadjust_tpu.ops.ransac import ransac_fundamental_many
+
+    rng = np.random.RandomState(5)
+    pts1_list, pts2_list = [], []
+    for frac_out in (0.02, 0.2, 0.5):
+        n = 400
+        p1 = rng.rand(n, 2) * 1000
+        p2 = p1 + rng.randn(n, 2) * 0.03
+        n_out = int(n * frac_out)
+        p2[:n_out] += rng.randn(n_out, 2) * 40
+        pts1_list.append(p1)
+        pts2_list.append(p2)
+
+    fixed = ransac_fundamental_many(pts1_list, pts2_list, thr=0.3, adaptive=False)
+    adapt = ransac_fundamental_many(pts1_list, pts2_list, thr=0.3, adaptive=True)
+    for (F_f, inl_f), (F_a, inl_a) in zip(fixed, adapt):
+        assert inl_a is not None
+        # at 99% confidence the adaptive set recovers essentially the same
+        # inliers (identical on clean pairs, within a few on dirty ones)
+        agree = np.mean(inl_a == inl_f)
+        assert agree > 0.97, agree
