@@ -92,6 +92,13 @@ class LMConfig(NamedTuple):
     cg_iters: int = 0
     # forcing term: CG also stops at ||r|| <= cg_rtol * ||b||
     cg_rtol: float = 1e-1
+    # two-level preconditioner: add a coarse correction on the
+    # "same-correction-for-every-camera" subspace to the block-Jacobi
+    # preconditioner. The coarse modes (a global camera shift compensated
+    # by the points) are the Schur complement's smallest eigenvalues and
+    # per-camera Jacobi cannot damp them — at 1000 cameras CG stalls
+    # against its step budget without this.
+    cg_coarse: bool = True
     # COMMON_K (reference: ba_params.py:167-171): number of TRAILING
     # per-camera parameters tied to one shared value across all
     # optimizable cameras. Solved by projected CG (null-space method): the
@@ -316,7 +323,8 @@ def _dense_mxu_schur_solve(U_d, W, Vinv, b, prob: LMProblem, n_cam, cam_opt_mask
 
 
 def _cg_schur_solve(U_d, W, Vinv, b, prob: LMProblem, n_cam, cam_opt_mask, cg_iters,
-                    psum_axis=None, cg_rtol=1e-2, tie_tail=0):
+                    psum_axis=None, cg_rtol=1e-2, tie_tail=0, x0=None,
+                    coarse=True):
     """Matrix-free CG on the Schur complement, in float32.
 
     matvec(x) = U x - W V^-1 W^T x via gathers + segment sums. When
@@ -397,6 +405,37 @@ def _cg_schur_solve(U_d, W, Vinv, b, prob: LMProblem, n_cam, cam_opt_mask, cg_it
         (S_diag + jnp.eye(P) * 1e-12).astype(jnp.float32)
     ).astype(U_d.dtype)
 
+    # Two-level preconditioner: coarse correction on the subspace
+    # Z = I_P (x) 1_M ("the same correction applied to every optimizable
+    # camera"). The Schur complement's smallest eigenvalues are these
+    # global gauge-like modes (a common camera shift compensated by the
+    # points); per-camera block-Jacobi cannot see them, and the round-3
+    # device trace showed CG stalling against its step budget at 1000
+    # cameras. E = Z^T S Z has the closed form
+    #     E = sum_c U_c - sum_pt Wsum_pt Vinv_pt Wsum_pt^T,
+    # Wsum_pt = sum of the point's W blocks over optimizable cameras:
+    # O(K) to build once per LM step, and each application is one sum over
+    # cameras plus a PxP matvec. Applied ADDITIVELY to block-Jacobi (both
+    # SPD, so the sum stays a valid CG preconditioner).
+    if coarse:
+        if dual_layout:
+            m_pad = jnp.concatenate([m, jnp.zeros((1, 1), m.dtype)])
+            slot_m = m_pad[prob.cam_ind_pt]  # (N, Tp, 1)
+            Wsum = jnp.sum(W_pt * slot_m[..., None], axis=1)  # (N, P, 3)
+        else:
+            mk = m[prob.cam_ind]  # (K, 1)
+            Wsum = jax.ops.segment_sum(
+                W * mk[..., None], prob.pts_ind, num_segments=n_pts
+            )
+        E = jnp.sum(U_d * m[..., None], axis=0) - jnp.einsum(
+            "npi,nij,nqj->pq", Wsum, Vinv, Wsum
+        )
+        if psum_axis is not None:
+            E = jax.lax.psum(E, psum_axis)
+        Einv = jnp.linalg.inv(
+            (E + jnp.eye(P) * 1e-12).astype(jnp.float32)
+        ).astype(U_d.dtype)
+
     if tie_tail:
         # COMMON_K projector: average the trailing tie_tail parameters over
         # the optimizable cameras and broadcast back (frozen cameras keep
@@ -417,16 +456,35 @@ def _cg_schur_solve(U_d, W, Vinv, b, prob: LMProblem, n_cam, cam_opt_mask, cg_it
             return x
 
     def apply_prec(v):
-        return proj(sm.mv(prec, proj(v)) * m + v * (1.0 - m))
+        pv = proj(v)
+        out = sm.mv(prec, pv)
+        if coarse:
+            vc = jnp.sum(pv * m, axis=0)  # Z^T v, (P,)
+            out = out + (Einv @ vc)[None, :]
+        return proj(out * m + v * (1.0 - m))
 
     b = proj(b * m)
-    x = jnp.zeros_like(b)
-    r = b - proj(matvec(x))
+    # the forcing criterion is relative to ||b|| (the x=0 residual), not the
+    # starting residual — with a warm start the latter would make CG chase a
+    # needlessly tighter absolute target
+    rr0 = jnp.sum(b * b)
+    if x0 is None:
+        x = jnp.zeros_like(b)
+        r = b
+    else:
+        # warm start from the previous LM iteration's step: the damped Schur
+        # system changes only through lam and the (slowly varying) Jacobian,
+        # so the previous solution is usually a few CG steps from the new
+        # one. Guarded: if the previous step is a worse start than zero
+        # (e.g. after a large lam jump on rejection), fall back to cold.
+        x0 = proj(x0.astype(b.dtype) * m)
+        r_w = b - proj(matvec(x0))
+        use_warm = jnp.sum(r_w * r_w) < rr0
+        x = jnp.where(use_warm, x0, jnp.zeros_like(b))
+        r = jnp.where(use_warm, r_w, b)
     z = apply_prec(r)
     p = z
     rz = jnp.sum(r * z)
-
-    rr0 = jnp.sum(r * r)
 
     def cond(state):
         _, r_c, _, _, it = state
@@ -450,11 +508,12 @@ def _cg_schur_solve(U_d, W, Vinv, b, prob: LMProblem, n_cam, cam_opt_mask, cg_it
 
 
 def lm_step(r, J_cam, J_pt, lam, prob: LMProblem, n_cam, n_pts, cfg: LMConfig,
-            psum_axis=None, loss=None, f_scale=None):
+            psum_axis=None, loss=None, f_scale=None, x0_cam=None):
     """One damped Schur-complement solve. Returns (dcam (M,P), dpt (N,3)).
 
     loss/f_scale: optional traced overrides of cfg.loss/cfg.f_scale (see
-    _normal_blocks)."""
+    _normal_blocks). x0_cam: optional CG warm start for the camera step
+    (the previous LM iteration's dcam); ignored by the dense solver."""
     r, g_cam, g_pt, U, V, W = _normal_blocks(
         r, J_cam, J_pt, prob, n_cam, n_pts, cfg, loss=loss, f_scale=f_scale
     )
@@ -488,7 +547,8 @@ def lm_step(r, J_cam, J_pt, lam, prob: LMProblem, n_cam, n_pts, cfg: LMConfig,
         dcam = _cg_schur_solve(
             U_d, W, Vinv, b, prob, n_cam, cmask,
             cfg.cg_iters or max(15, min(60, n_cam // 2)), psum_axis,
-            cg_rtol=cfg.cg_rtol, tie_tail=cfg.tie_tail,
+            cg_rtol=cfg.cg_rtol, tie_tail=cfg.tie_tail, x0=x0_cam,
+            coarse=cfg.cg_coarse,
         )
 
     # back-substitute tie points: dp = -V^-1 (g_pt + W^T dcam)
@@ -541,11 +601,11 @@ def build_solve(residual_fn, jac_fn, n_cam, n_pts, prob: LMProblem, cfg: LMConfi
         cost_floor = jnp.maximum(1e-15 * jnp.maximum(cost0, 1.0), 1e-14 * n_obs)
 
         def body(state):
-            cam, pts, lam, cost, n_iter, done = state
+            cam, pts, lam, cost, n_iter, done, dcam_prev = state
             r, J_cam, J_pt = jac_fn(cam, pts)
             dcam, dpt = lm_step(
                 r, J_cam, J_pt, lam, prob, n_cam, n_pts, cfg,
-                loss=lid, f_scale=f_scale,
+                loss=lid, f_scale=f_scale, x0_cam=dcam_prev,
             )
             cam_new = cam + dcam
             pts_new = pts + dpt
@@ -571,17 +631,19 @@ def build_solve(residual_fn, jac_fn, n_cam, n_pts, prob: LMProblem, cfg: LMConfi
                 | (lam > 1e12)
                 | (cost <= cost_floor)
             )
-            return cam, pts, lam, cost, n_iter + 1, done
+            # carry the step as the next iteration's CG warm start (even when
+            # rejected: CG falls back to cold if it's a worse start than 0)
+            return cam, pts, lam, cost, n_iter + 1, done, dcam.astype(cam.dtype)
 
         def cond(state):
-            _, _, _, _, n_iter, done = state
+            n_iter, done = state[4], state[5]
             return (~done) & (n_iter < max_iter)
 
         state0 = (
             cam, pts, jnp.asarray(cfg.lambda0, cam.dtype), cost0,
-            jnp.asarray(0), jnp.asarray(False),
+            jnp.asarray(0), jnp.asarray(False), jnp.zeros_like(cam),
         )
-        cam, pts, lam, cost, n_iter, _ = jax.lax.while_loop(cond, body, state0)
+        cam, pts, lam, cost, n_iter, _, _ = jax.lax.while_loop(cond, body, state0)
         # also return per-observation unweighted reprojection errors:
         # computing them in separate dispatches costs a tunnel round trip
         # each, and (K,) f32 norms transfer 8x less than (K, 2) f64

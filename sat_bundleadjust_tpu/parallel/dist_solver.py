@@ -300,11 +300,12 @@ class DistributedLM:
             n_loc = obs["track_global"].shape[-1]
             local_of_global = obs["local_of_global"][0]  # (n_pts,), sentinel L
 
-            def step(cam, pts, lam):
+            def step(cam, pts, lam, dcam_prev):
                 r, J_cam, J_pt = local_jacobians(obs, cam_tail, rpcs, cam, pts)
                 dcam, dpt_loc = lm_ops.lm_step(
                     r, J_cam, J_pt, lam, prob, cam.shape[0], n_loc, cfg_local,
                     psum_axis=OBS_AXIS, loss=lid, f_scale=f_scale,
+                    x0_cam=dcam_prev,
                 )
                 # rejoin the replicated point state: gather each global
                 # track's step from the owning shard's local solution (zero
@@ -318,8 +319,8 @@ class DistributedLM:
             cost_floor = jnp.maximum(1e-15 * jnp.maximum(cost0, 1.0), 1e-14 * n_obs)
 
             def body(state):
-                cam, pts, lam, cost, n_iter, done = state
-                dcam, dpt = step(cam, pts, lam)
+                cam, pts, lam, cost, n_iter, done, dcam_prev = state
+                dcam, dpt = step(cam, pts, lam, dcam_prev)
                 cam_new = cam + dcam
                 pts_new = pts + dpt
                 new_cost = cost_of(local_residuals(obs, cam_tail, rpcs, cam_new, pts_new))
@@ -339,17 +340,19 @@ class DistributedLM:
                     | (lam > 1e12)
                     | (cost <= cost_floor)
                 )
-                return cam, pts, lam, cost, n_iter + 1, done
+                # carry the camera step as the next iteration's CG warm start
+                # (replicated across shards, like cam itself)
+                return cam, pts, lam, cost, n_iter + 1, done, dcam.astype(cam.dtype)
 
             def cond(state):
-                _, _, _, _, n_iter, done = state
+                n_iter, done = state[4], state[5]
                 return (~done) & (n_iter < max_iter)
 
             state0 = (
                 cam, pts, jnp.asarray(cfg_local.lambda0, cam.dtype), cost0,
-                jnp.asarray(0), jnp.asarray(False),
+                jnp.asarray(0), jnp.asarray(False), jnp.zeros_like(cam),
             )
-            cam, pts, lam, cost, n_iter, _ = jax.lax.while_loop(cond, body, state0)
+            cam, pts, lam, cost, n_iter, _, _ = jax.lax.while_loop(cond, body, state0)
 
             # per-observation unweighted reprojection errors, kept sharded
             w = obs["weights"][0]

@@ -1,0 +1,131 @@
+"""CG warm start (ops/lm._cg_schur_solve x0): correctness of the warm path.
+
+The LM driver carries each iteration's camera step as the next iteration's
+CG starting point. These tests pin the two properties that make that safe:
+a warm start converges to the same solution as a cold start (the forcing
+criterion is relative to ||b||, not the starting residual), and a BAD x0
+falls back to the cold start rather than poisoning the solve.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from sat_bundleadjust_tpu.ops.lm import LMProblem, _cg_schur_solve
+
+
+def _small_system(seed=0, M=3, P=4, N=5, K=10):
+    rng = np.random.default_rng(seed)
+    cam_ind = rng.integers(0, M, size=K)
+    pts_ind = rng.integers(0, N, size=K)
+    W = rng.normal(size=(K, P, 3)) * 0.3
+    # U strongly diagonally dominant so the Schur complement stays SPD
+    U = rng.normal(size=(M, P, P))
+    U_d = np.einsum("mij,mkj->mik", U, U) + 10.0 * np.eye(P)
+    V = rng.normal(size=(N, 3, 3))
+    Vd = np.einsum("nij,nkj->nik", V, V) + 5.0 * np.eye(3)
+    Vinv = np.linalg.inv(Vd)
+    b = rng.normal(size=(M, P))
+    prob = LMProblem(
+        pts_ind=jnp.asarray(pts_ind),
+        cam_ind=jnp.asarray(cam_ind),
+        pts2d=jnp.zeros((K, 2)),
+        weights=jnp.ones(K),
+        cam_opt_mask=jnp.ones(M),
+        pts_opt_mask=jnp.ones(N),
+        pair_k1=jnp.zeros(1, jnp.int32),
+        pair_k2=jnp.zeros(1, jnp.int32),
+    )
+    args = (
+        jnp.asarray(U_d), jnp.asarray(W), jnp.asarray(Vinv), jnp.asarray(b),
+        prob, M, jnp.ones(M),
+    )
+    return args
+
+
+def _dense_schur(U_d, W, Vinv, prob, M, P, N):
+    """Materialize S = U - sum_k W_k Vinv_{pt(k)} W_k^T aggregated by cam pair
+    (a track observes a camera at most once in this random system is NOT
+    guaranteed, but S as applied by the matvec is what CG solves — build it
+    by applying the same algebra densely)."""
+    U_d, W, Vinv = map(np.asarray, (U_d, W, Vinv))
+    cam = np.asarray(prob.cam_ind)
+    pts = np.asarray(prob.pts_ind)
+    S = np.zeros((M * P, M * P))
+    for c in range(M):
+        S[c * P:(c + 1) * P, c * P:(c + 1) * P] = U_d[c]
+    for k1 in range(len(cam)):
+        for k2 in range(len(cam)):
+            if pts[k1] != pts[k2]:
+                continue
+            c1, c2 = cam[k1], cam[k2]
+            blk = W[k1] @ Vinv[pts[k1]] @ W[k2].T
+            S[c1 * P:(c1 + 1) * P, c2 * P:(c2 + 1) * P] -= blk
+    return S
+
+
+def test_warm_start_matches_cold_and_reference():
+    U_d, W, Vinv, b, prob, M, cmask = _small_system()
+    P = U_d.shape[-1]
+    N = Vinv.shape[0]
+
+    kw = dict(cg_iters=200, cg_rtol=1e-8)
+    x_cold = np.asarray(_cg_schur_solve(U_d, W, Vinv, b, prob, M, cmask, **kw))
+
+    # dense reference
+    S = _dense_schur(U_d, W, Vinv, prob, M, P, N)
+    x_ref = np.linalg.solve(S, np.asarray(b).ravel()).reshape(M, P)
+    assert np.allclose(x_cold, x_ref, atol=1e-5)
+
+    # warm start at the exact solution: must return it unchanged
+    x_exact = _cg_schur_solve(U_d, W, Vinv, b, prob, M, cmask,
+                              x0=jnp.asarray(x_cold), **kw)
+    assert np.allclose(np.asarray(x_exact), x_cold, atol=1e-6)
+
+    # warm start at a perturbed solution: same converged answer
+    x_pert = _cg_schur_solve(
+        U_d, W, Vinv, b, prob, M, cmask,
+        x0=jnp.asarray(x_cold + 0.05 * np.random.default_rng(1).normal(size=x_cold.shape)),
+        **kw)
+    assert np.allclose(np.asarray(x_pert), x_ref, atol=1e-5)
+
+
+def test_coarse_preconditioner_preserves_solution():
+    """The two-level (block-Jacobi + coarse camera-subspace) preconditioner
+    changes the CG trajectory, not the solution: both settings must converge
+    to the dense reference."""
+    U_d, W, Vinv, b, prob, M, cmask = _small_system(seed=7)
+    P = U_d.shape[-1]
+    N = Vinv.shape[0]
+    S = _dense_schur(U_d, W, Vinv, prob, M, P, N)
+    x_ref = np.linalg.solve(S, np.asarray(b).ravel()).reshape(M, P)
+    for coarse in (False, True):
+        x = _cg_schur_solve(U_d, W, Vinv, b, prob, M, cmask,
+                            cg_iters=300, cg_rtol=1e-8, coarse=coarse)
+        assert np.allclose(np.asarray(x), x_ref, atol=1e-5), coarse
+
+
+def test_coarse_preconditioner_respects_frozen_cameras():
+    """Frozen cameras must pass through CG untouched (identity rows) with
+    the coarse level active, and must not leak into the coarse sum."""
+    U_d, W, Vinv, b, prob, M, _ = _small_system(seed=11)
+    cmask = jnp.asarray([0.0] + [1.0] * (M - 1))
+    x = _cg_schur_solve(U_d, W, Vinv, b, prob, M, cmask,
+                        cg_iters=300, cg_rtol=1e-8, coarse=True)
+    x = np.asarray(x)
+    # frozen row: b is masked to zero there and the matvec is the identity,
+    # so the frozen camera's step stays exactly zero
+    assert np.allclose(x[0], 0.0, atol=0.0)
+    x_nc = np.asarray(_cg_schur_solve(U_d, W, Vinv, b, prob, M, cmask,
+                                      cg_iters=300, cg_rtol=1e-8, coarse=False))
+    assert np.allclose(x, x_nc, atol=1e-4)
+
+
+def test_bad_warm_start_falls_back_to_cold():
+    U_d, W, Vinv, b, prob, M, cmask = _small_system(seed=3)
+    kw = dict(cg_iters=200, cg_rtol=1e-8)
+    x_cold = np.asarray(_cg_schur_solve(U_d, W, Vinv, b, prob, M, cmask, **kw))
+    # a wildly wrong x0 has a residual far above ||b||: the guard must
+    # discard it, reproducing the cold-start trajectory exactly
+    x_bad = _cg_schur_solve(U_d, W, Vinv, b, prob, M, cmask,
+                            x0=jnp.full(x_cold.shape, 1e6), **kw)
+    assert np.allclose(np.asarray(x_bad), x_cold, atol=0.0, rtol=0.0)
