@@ -69,6 +69,15 @@ class LMProblem(NamedTuple):
     # 1000 cams / 800k obs, where the matvec dominated the whole solve.
     cam_ind_pt: jnp.ndarray = None
     pts_ind_cam: jnp.ndarray = None
+    # (N, Tp) int32: flattened camera-major slot (m * Tc + t, sentinel
+    # M * Tc) of each track-major observation slot. Enables the CM-MAJOR
+    # matvec (round 4): W is materialized in the camera-major layout ONLY,
+    # W^T x needs NO gather at all (x is constant along each camera row),
+    # and the track-side regroup gathers 3-vectors instead of P-vectors.
+    # Per CG step this removes the (N, Tp, P) x-gather and halves the W
+    # bytes read — the round-3 device trace attributed ~35% of the
+    # 1000-camera CG step to exactly these K-sized gather copies/pads.
+    cm_slot_pt: jnp.ndarray = None
 
 
 class LMConfig(NamedTuple):
@@ -418,18 +427,8 @@ def _cg_schur_solve(U_d, W, Vinv, b, prob: LMProblem, n_cam, cam_opt_mask, cg_it
     # cameras plus a PxP matvec. Applied ADDITIVELY to block-Jacobi (both
     # SPD, so the sum stays a valid CG preconditioner).
     if coarse:
-        if dual_layout:
-            m_pad = jnp.concatenate([m, jnp.zeros((1, 1), m.dtype)])
-            slot_m = m_pad[prob.cam_ind_pt]  # (N, Tp, 1)
-            Wsum = jnp.sum(W_pt * slot_m[..., None], axis=1)  # (N, P, 3)
-        else:
-            mk = m[prob.cam_ind]  # (K, 1)
-            Wsum = jax.ops.segment_sum(
-                W * mk[..., None], prob.pts_ind, num_segments=n_pts
-            )
-        E = jnp.sum(U_d * m[..., None], axis=0) - jnp.einsum(
-            "npi,nij,nqj->pq", Wsum, Vinv, Wsum
-        )
+        E = coarse_schur_E(U_d, W, Vinv, prob, m, n_pts,
+                           W_pt=W_pt if dual_layout else None)
         if psum_axis is not None:
             E = jax.lax.psum(E, psum_axis)
         Einv = jnp.linalg.inv(
@@ -505,6 +504,30 @@ def _cg_schur_solve(U_d, W, Vinv, b, prob: LMProblem, n_cam, cam_opt_mask, cg_it
 
     x, _, _, _, _ = jax.lax.while_loop(cond, body, (x, r, p, rz, jnp.asarray(0)))
     return x.astype(out_dtype)
+
+
+def coarse_schur_E(U_d, W, Vinv, prob: LMProblem, m, n_pts, W_pt=None):
+    """Galerkin coarse operator E = Z_m^T S Z_m of the two-level CG
+    preconditioner, Z_m = m (x) I_P ("the same correction applied to every
+    OPTIMIZABLE camera"; frozen cameras are excluded by the mask m).
+
+    Closed form: E = sum_c m_c U_c - sum_n Wsum_n Vinv_n Wsum_n^T with
+    Wsum_n = sum of track n's W blocks over optimizable cameras (m^2 = m).
+    W_pt: optional track-major padded W layout (dual-layout matvec path);
+    otherwise the per-observation W with a segment sum over tracks."""
+    m = m.reshape(-1, 1)
+    if W_pt is not None:
+        m_pad = jnp.concatenate([m, jnp.zeros((1, 1), m.dtype)])
+        slot_m = m_pad[prob.cam_ind_pt]  # (N, Tp, 1)
+        Wsum = jnp.sum(W_pt * slot_m[..., None], axis=1)  # (N, P, 3)
+    else:
+        mk = m[prob.cam_ind]  # (K, 1)
+        Wsum = jax.ops.segment_sum(
+            W * mk[..., None], prob.pts_ind, num_segments=n_pts
+        )
+    return jnp.sum(U_d * m[..., None], axis=0) - jnp.einsum(
+        "npi,nij,nqj->pq", Wsum, Vinv, Wsum
+    )
 
 
 def lm_step(r, J_cam, J_pt, lam, prob: LMProblem, n_cam, n_pts, cfg: LMConfig,

@@ -40,47 +40,45 @@ def get_acquisition_date(geotiff_path):
     return datetime.datetime.strptime(date_string, "%Y%m%d_%H%M%S")
 
 
-def group_files_by_date(datetimes, image_fnames):
-    """Cluster images into acquisitions within a 30-minute margin
-    (reference: ba_timeseries.py:47-101)."""
+def group_files_by_date(datetimes, image_fnames, margin_mins=30.0):
+    """Cluster images into acquisition groups by anchored time windows.
 
-    def dt_diff_in_mins(d1, d2):
-        return abs((d1 - d2).total_seconds() / 60.0)
-
-    sorted_indices = np.argsort(datetimes)
-    sorted_datetimes = [datetimes[i] for i in sorted_indices]
-    sorted_fnames = [image_fnames[i] for i in sorted_indices]
-    margin = 30
-
-    d = {}
-    dates_seen = []
-    for im_idx, fname in enumerate(sorted_fnames):
-        new_date = True
-        current = sorted_datetimes[im_idx]
-        diffs = [dt_diff_in_mins(x, current) for x in dates_seen]
-        if diffs:
-            min_pos = int(np.argmin(diffs))
-            if diffs[min_pos] < margin:
-                ref_id = dates_seen[min_pos].strftime("%Y%m%d_%H%M%S")
-                d[ref_id].append(im_idx)
-                new_date = False
-        if new_date:
-            date_id = current.strftime("%Y%m%d_%H%M%S")
-            d[date_id] = [im_idx]
-            dates_seen.append(current)
+    Scanning in time order, an image joins the open group while it lies
+    strictly within `margin_mins` of the group's FIRST image (the anchor);
+    the first image at or past the margin opens a new group. This produces
+    the same timeline as the reference's nearest-seen-date rule
+    (ba_timeseries.py:47-101): on time-sorted input every existing anchor
+    precedes the current image, so the nearest anchor is always the latest
+    one and "join the nearest if < 30 min away" collapses to a window
+    anchored at each group's first acquisition. The window boundaries are
+    found with searchsorted on the offset vector instead of a per-image
+    scan over all previous anchors."""
+    order = np.argsort(datetimes, kind="stable")
+    if len(order) == 0:
+        return []
+    # seconds since the earliest acquisition — timedelta arithmetic, so no
+    # timezone/DST assumptions leak in via datetime.timestamp()
+    t0 = datetimes[order[0]]
+    offsets = np.array([(datetimes[i] - t0).total_seconds() for i in order])
 
     timeline = []
-    for k in d:
+    start, n = 0, len(order)
+    while start < n:
+        end = int(np.searchsorted(offsets, offsets[start] + margin_mins * 60.0,
+                                  side="left"))
+        members = order[start:end]
+        anchor = datetimes[members[0]]
         timeline.append(
             {
-                "datetime": sorted_datetimes[d[k][0]],
-                "id": k.split("/")[-1],
-                "fnames": [sorted_fnames[i] for i in d[k]],
-                "n_images": len(d[k]),
+                "datetime": anchor,
+                "id": anchor.strftime("%Y%m%d_%H%M%S"),
+                "fnames": [image_fnames[i] for i in members],
+                "n_images": len(members),
                 "adjusted": False,
                 "image_weights": [],
             }
         )
+        start = end
     return timeline
 
 

@@ -106,10 +106,10 @@ def detect_features_image_sequence(geotiff_paths, mask_paths=None, offsets=None,
         owned = None
         local_mesh = None
 
-    # first pass: resolve caches and load the images that need detection
+    # first pass: resolve caches and mark the images that need detection
     n = len(geotiff_paths)
     resolved = [None] * n
-    to_detect = []  # (i, image, mask)
+    pending = []  # (i, geotiff_path, offset, mask) still to load + detect
     remote = []  # uncached images another process owns (multi-process only)
     for i, geotiff_path in enumerate(geotiff_paths):
         if not config["FT_reset"] and "in_dir" in config:
@@ -122,15 +122,40 @@ def detect_features_image_sequence(geotiff_paths, mask_paths=None, offsets=None,
             continue
         offset_i = None if offsets is None else offsets[i]
         mask = None if mask_paths is None else np.load(mask_paths[i])
-        image = loader.load_image(
-            geotiff_path, offset=offset_i, equalize=(backend == "opencv")
-        )
-        to_detect.append((i, image, mask))
+        pending.append((i, geotiff_path, offset_i, mask))
 
     if backend == "opencv":
-        for i, image, mask in to_detect:
-            resolved[i] = _top_k_by_scale(detect_opencv(image, mask), max_kp)
+        # FT_n_proc fan-out (the CPU path's parallel axis; the reference
+        # chunks images over a multiprocessing.Pool, ft_s2p.py:97-124).
+        # Threads instead of processes: cv2 SIFT releases the GIL and
+        # rasterio reads are IO-bound, so a thread pool gets the same
+        # near-linear speedup without fork/pickle overhead. The TPU backend
+        # ignores FT_n_proc — its parallel axis is the device mesh.
+        def load_and_detect(item):
+            i, path, offset_i, mask = item
+            image = loader.load_image(path, offset=offset_i, equalize=True)
+            return i, _top_k_by_scale(detect_opencv(image, mask), max_kp)
+
+        n_proc = int(config.get("FT_n_proc", 1) or 1)
+        if n_proc > 1 and len(pending) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=n_proc) as pool:
+                results = list(pool.map(load_and_detect, pending))
+        else:
+            results = [load_and_detect(item) for item in pending]
+        for i, feats in results:
+            resolved[i] = feats
+        to_detect = [(i, None, None) for i, *_ in pending]
     else:  # "tpu" (also accepts the reference's "s2p" name)
+        to_detect = [
+            (
+                i,
+                loader.load_image(path, offset=offset_i, equalize=False),
+                mask,
+            )
+            for i, path, offset_i, mask in pending
+        ]
         from sat_bundleadjust_tpu.parallel.feature_shard import detect_batches_mesh
 
         # batch same-shape images through one vmapped octave program set

@@ -134,21 +134,26 @@ class FeatureTracksPipeline:
         print("Found {} new pairwise matches".format(self.pairwise_matches.shape[0]))
 
     def get_feature_tracks(self):
-        """Reference: ft_pipeline.py:166-195."""
-        if self.pairwise_matches.shape[0] > 0:
+        """Assemble the track bundle from the pairwise matches (same output
+        keys as the reference contract, ft_pipeline.py:166-195)."""
+        C = C_v2 = None
+        n_pts_fix = 0
+        if len(self.pairwise_matches):
             C, C_v2 = ft_build.feature_tracks_from_pairwise_matches(
                 self.features, self.pairwise_matches, self.pairs_to_triangulate
             )
-            where_fix_pts = np.sum(~np.isnan(C[::2, :])[self.n_adj :], axis=0) == 0
-            n_pts_fix = int(np.sum(where_fix_pts))
-            if n_pts_fix > 0:
-                C = np.hstack([C[:, where_fix_pts], C[:, ~where_fix_pts]])
-                C_v2 = np.hstack([C_v2[:, where_fix_pts], C_v2[:, ~where_fix_pts]])
-            flush_print("Found {} tracks in total".format(C.shape[1]))
-        else:
-            C, C_v2, n_pts_fix = None, None, 0
-            flush_print("Found 0 tracks in total")
-
+            # the parameterization expects FIXED tracks (those never seen by
+            # a camera under adjustment) as a leading block of C: permute
+            # columns by "is the track observed by any new camera", stable so
+            # relative order inside each block is preserved
+            seen_by_new = np.isfinite(C[2 * self.n_adj :: 2]).any(axis=0)
+            n_pts_fix = int(np.size(seen_by_new) - np.count_nonzero(seen_by_new))
+            if n_pts_fix:
+                perm = np.argsort(seen_by_new, kind="stable")
+                C, C_v2 = C[:, perm], C_v2[:, perm]
+        flush_print(
+            "Found {} tracks in total".format(0 if C is None else C.shape[1])
+        )
         return {
             "C": C,
             "C_v2": C_v2,
@@ -159,64 +164,68 @@ class FeatureTracksPipeline:
             "n_pts_fix": n_pts_fix,
         }
 
+    def _save_portable_artifacts(self):
+        """Persist the portable bundle consumed by
+        loader.save_predefined_matches: filenames manifest, flat matches
+        table, pair lists (reference writes these in the predefined loader,
+        ft_utils.py:479-483)."""
+        out = self.output_dir
+        loader.save_list_of_paths(
+            os.path.join(out, "filenames.txt"),
+            [im.geotiff_path for im in self.images],
+        )
+        np.save(os.path.join(out, "matches.npy"), self.pairwise_matches)
+        loader.save_list_of_pairs(
+            os.path.join(out, "pairs_matching.npy"), self.pairs_to_match
+        )
+        loader.save_list_of_pairs(
+            os.path.join(out, "pairs_triangulation.npy"), self.pairs_to_triangulate
+        )
+
     def build_feature_tracks(self):
-        """Reference: ft_pipeline.py:197-261."""
+        """Run every stage of the tracking pipeline and return
+        (feature_tracks dict, total wall seconds) — the reference's
+        entry-point contract (ft_pipeline.py:197-261)."""
+        from sat_bundleadjust_tpu.parallel.multihost import is_main_process
+
         print("Building feature tracks\n")
         print("Parameters:")
         loader.display_dict(self.config)
 
-        start = timeit.default_timer()
-        last = start
+        clock = timeit.default_timer
+        t_start = clock()
+
+        def timed(label, fn):
+            flush_print("\n[tracks] {}...".format(label))
+            t0 = clock()
+            out = fn()
+            flush_print("[tracks] {}: {:.2f} s".format(label, clock() - t0))
+            return out
 
         if self.n_adj == len(self.images):
-            flush_print("\nSkipping feature detection (no new images)")
-            self.run_feature_detection()  # still need the cached paths set
-        else:
-            flush_print("\nRunning feature detection...\n")
+            # nothing new to detect, but the cached npy paths still need
+            # wiring up for the matching stage
+            flush_print("\n[tracks] detection: all images already adjusted, using cached features")
             self.run_feature_detection()
-            stop = timeit.default_timer()
-            flush_print("\n...done in {:.2f} seconds".format(stop - last))
-            last = stop
+        else:
+            timed("feature detection", self.run_feature_detection)
 
-        flush_print("\nComputing pairs to match...\n")
-        self.get_stereo_pairs_to_match()
-        stop = timeit.default_timer()
-        flush_print("\n...done in {:.2f} seconds".format(stop - last))
-        last = stop
+        timed("pair selection", self.get_stereo_pairs_to_match)
 
         if len(self.pairs_to_match) > 0:
-            flush_print("\nMatching...\n")
-            self.run_feature_matching()
-            stop = timeit.default_timer()
-            flush_print("\n...done in {:.2f} seconds".format(stop - last))
-            last = stop
+            timed("matching", self.run_feature_matching)
         else:
             self.pairwise_matches = np.zeros((0, 4), dtype=np.int64)
-            flush_print("\nSkipping matching (no pairs to match)")
+            flush_print("\n[tracks] matching: nothing to do (no pairs)")
 
-        flush_print("\nExtracting feature tracks...\n")
-        feature_tracks = self.get_feature_tracks()
-        from sat_bundleadjust_tpu.parallel.multihost import is_main_process
-
+        feature_tracks = timed("track construction", self.get_feature_tracks)
         if self.config.get("FT_save") and is_main_process():
-            # persist the portable artifacts consumed by
-            # loader.save_predefined_matches (filenames manifest + flat
-            # matches table; reference writes these in the predefined loader,
-            # ft_utils.py:479-483)
-            loader.save_list_of_paths(
-                os.path.join(self.output_dir, "filenames.txt"),
-                [im.geotiff_path for im in self.images],
-            )
-            np.save(os.path.join(self.output_dir, "matches.npy"), self.pairwise_matches)
-            loader.save_list_of_pairs(
-                os.path.join(self.output_dir, "pairs_matching.npy"), self.pairs_to_match
-            )
-            loader.save_list_of_pairs(
-                os.path.join(self.output_dir, "pairs_triangulation.npy"), self.pairs_to_triangulate
-            )
-        stop = timeit.default_timer()
-        flush_print("\n...done in {:.2f} seconds".format(stop - last))
+            timed("portable artifacts", self._save_portable_artifacts)
+
+        total = clock() - t_start
         flush_print(
-            "\nFeature tracks computed in {}\n".format(loader.get_time_in_hours_mins_secs(stop - start))
+            "\nFeature tracks computed in {}\n".format(
+                loader.get_time_in_hours_mins_secs(total)
+            )
         )
-        return feature_tracks, stop - start
+        return feature_tracks, total

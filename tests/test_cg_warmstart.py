@@ -10,7 +10,7 @@ falls back to the cold start rather than poisoning the solve.
 import numpy as np
 import jax.numpy as jnp
 
-from sat_bundleadjust_tpu.ops.lm import LMProblem, _cg_schur_solve
+from sat_bundleadjust_tpu.ops.lm import LMProblem, _cg_schur_solve, coarse_schur_E
 
 
 def _small_system(seed=0, M=3, P=4, N=5, K=10):
@@ -108,6 +108,8 @@ def test_coarse_preconditioner_respects_frozen_cameras():
     """Frozen cameras must pass through CG untouched (identity rows) with
     the coarse level active, and must not leak into the coarse sum."""
     U_d, W, Vinv, b, prob, M, _ = _small_system(seed=11)
+    P = U_d.shape[-1]
+    N = Vinv.shape[0]
     cmask = jnp.asarray([0.0] + [1.0] * (M - 1))
     x = _cg_schur_solve(U_d, W, Vinv, b, prob, M, cmask,
                         cg_iters=300, cg_rtol=1e-8, coarse=True)
@@ -118,6 +120,24 @@ def test_coarse_preconditioner_respects_frozen_cameras():
     x_nc = np.asarray(_cg_schur_solve(U_d, W, Vinv, b, prob, M, cmask,
                                       cg_iters=300, cg_rtol=1e-8, coarse=False))
     assert np.allclose(x, x_nc, atol=1e-4)
+
+    # the no-leak property itself, asserted on E directly (round-3 advisor
+    # finding: a wrong-but-SPD E would still let the solution tests pass):
+    # E must equal the dense Galerkin operator Z_m^T S Z_m of the MASKED
+    # system, Z_m = m (x) I_P — the frozen camera's U block and its W
+    # couplings contribute nothing
+    E = np.asarray(coarse_schur_E(jnp.asarray(U_d), jnp.asarray(W),
+                                  jnp.asarray(Vinv), prob, cmask, N))
+    S = _dense_schur(U_d, W, Vinv, prob, M, P, N)
+    m = np.asarray(cmask)
+    Zm = np.kron(m[:, None], np.eye(P))  # (M*P, P)
+    E_ref = Zm.T @ S @ Zm
+    assert np.allclose(E, E_ref, atol=1e-8)
+    # and it must DIFFER from the unmasked coarse operator whenever the
+    # frozen camera has any coupling — guards against a mask-free regression
+    E_all = np.asarray(coarse_schur_E(jnp.asarray(U_d), jnp.asarray(W),
+                                      jnp.asarray(Vinv), prob, jnp.ones(M), N))
+    assert not np.allclose(E, E_all, atol=1e-6)
 
 
 def test_bad_warm_start_falls_back_to_cold():

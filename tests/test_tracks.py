@@ -153,3 +153,32 @@ def test_select_best_tracks_sensor_aware():
     assert set(S_global).issubset(set(S_aware))
     # and includes tracks chosen for each sensor subset
     assert len(S_aware) >= len(S_global)
+
+
+def test_ft_n_proc_opencv_fanout(tmp_path):
+    """FT_n_proc consumes the opencv detection path: a thread-pool fan-out
+    must produce byte-identical features to the serial run (reference
+    counterpart: the multiprocessing.Pool of ft_s2p.py:97-124)."""
+    from PIL import Image
+
+    from sat_bundleadjust_tpu.tracks.detection import detect_features_image_sequence
+
+    rng = np.random.RandomState(3)
+    paths = []
+    for i in range(3):
+        from scipy.ndimage import gaussian_filter
+
+        im = gaussian_filter(rng.randn(120, 150), 2.0)
+        im = ((im - im.min()) / (im.max() - im.min() + 1e-9) * 255).astype(np.uint8)
+        p = tmp_path / "im{}.tif".format(i)
+        Image.fromarray(im).save(str(p))
+        paths.append(str(p))
+
+    cfg = {"FT_sift_detection": "opencv", "FT_kp_max": 500,
+           "FT_reset": True, "FT_save": False}
+    serial = detect_features_image_sequence(paths, tracks_config=dict(cfg, FT_n_proc=1))
+    fanned = detect_features_image_sequence(paths, tracks_config=dict(cfg, FT_n_proc=3))
+    assert len(serial) == len(fanned) == 3
+    for a, b in zip(serial, fanned):
+        np.testing.assert_array_equal(a, b)
+        assert np.sum(~np.isnan(a[:, 0])) > 0  # something was detected
