@@ -217,8 +217,8 @@ class BASolver:
         # the robust loss and f_scale are traced operands of the compiled
         # run (ops/lm.build_solve), NOT compile keys: the soft-L1 and L2
         # rounds of a pipeline solve share one program
-        key = (cfg.ftol, cfg.xtol, cfg.schur_mode,
-               cfg.cg_iters, cfg.cg_rtol, cfg.cg_coarse, cfg.tie_tail)
+        key = (cfg.ftol, cfg.xtol, cfg.schur_mode, cfg.cg_iters, cfg.cg_rtol,
+               cfg.cg_coarse, cfg.cg_coarse_k, cfg.tie_tail)
         if key not in self._runs:
             self._runs[key] = lm_ops.build_solve(
                 self.residual_fn, self.jac_fn, self.p.n_cam, self.p.n_pts, self.prob, cfg
@@ -235,6 +235,7 @@ class BASolver:
             xtol=float(ls["xtol"]),
             schur_mode="cg" if getattr(self.p, "common_k", False) else self.mode,
             tie_tail=self.p.n_params_k if getattr(self.p, "common_k", False) else 0,
+            cg_coarse_k=lm_ops.default_coarse_k(self.p.n_cam),
         )
         cam0 = jnp.asarray(self.p.opt_block())
         pts0 = jnp.asarray(self.p.pts3d)

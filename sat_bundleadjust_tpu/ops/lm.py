@@ -25,6 +25,7 @@ precomputed host-side; device code has static shapes and no data-dependent
 control flow.
 """
 
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -108,6 +109,17 @@ class LMConfig(NamedTuple):
     # per-camera Jacobi cannot damp them — at 1000 cameras CG stalls
     # against its step budget without this.
     cg_coarse: bool = True
+    # number of contiguous camera clusters in the coarse level. 1 = the
+    # round-3 global subspace. More clusters damp regional low modes the
+    # global vector cannot represent: measured (scripts/bench_coarse_k.py,
+    # 300 cams, mid-LM state lam~1e-5) PCG steps to tolerance drop
+    # 139 -> 46 at 64 clusters and 400+ -> 207 at lam~1e-6 with 16.
+    # Cameras are clustered by index, which follows acquisition-date order
+    # in real scenes. E is inverted through an eigendecomposition with
+    # small/negative eigenvalues dropped: at late-LM damping, f32
+    # cancellation in E = Z^T S Z can make it indefinite, and a plain
+    # inverse then DIVERGES the whole CG (measured at 64 clusters).
+    cg_coarse_k: int = 1
     # COMMON_K (reference: ba_params.py:167-171): number of TRAILING
     # per-camera parameters tied to one shared value across all
     # optimizable cameras. Solved by projected CG (null-space method): the
@@ -115,6 +127,17 @@ class LMConfig(NamedTuple):
     # into CG on P S P, whose subspace solution equals the tied-parameter
     # normal equations E^T S E y = E^T b. 0 = no tying.
     tie_tail: int = 0
+
+
+def default_coarse_k(n_cam):
+    """Default cluster count for the coarse CG level: ~1 cluster per 16
+    cameras, capped at 64 (E stays <= 192x192 and the per-LM-step Wsum
+    build O(K * G * P * 3) stays far below one CG step). Override with
+    SATBA_CG_COARSE_K."""
+    env = os.environ.get("SATBA_CG_COARSE_K")
+    if env is not None:
+        return max(1, int(env))
+    return int(np.clip(n_cam // 16, 1, 64))
 
 
 def build_intra_track_pairs(pts_ind, n_pts):
@@ -333,7 +356,7 @@ def _dense_mxu_schur_solve(U_d, W, Vinv, b, prob: LMProblem, n_cam, cam_opt_mask
 
 def _cg_schur_solve(U_d, W, Vinv, b, prob: LMProblem, n_cam, cam_opt_mask, cg_iters,
                     psum_axis=None, cg_rtol=1e-2, tie_tail=0, x0=None,
-                    coarse=True):
+                    coarse=True, coarse_k=1):
     """Matrix-free CG on the Schur complement, in float32.
 
     matvec(x) = U x - W V^-1 W^T x via gathers + segment sums. When
@@ -357,27 +380,35 @@ def _cg_schur_solve(U_d, W, Vinv, b, prob: LMProblem, n_cam, cam_opt_mask, cg_it
 
     dual_layout = prob.cam_ind_pt is not None and prob.pts_ind_cam is not None
     if dual_layout:
-        # materialize W in both padded layouts ONCE per LM step (zero rows
-        # in empty slots), so every matvec is dense reductions + row
-        # gathers instead of gather-table segment sums. Under psum_axis
-        # (distributed shards) the point side is shard-LOCAL (renumbered
-        # tracks, parallel/dist_solver.shard_observations) and the partial
-        # camera-space result is all-reduced, exactly like the layout-free
-        # path.
+        # materialize What = W L (L = chol(V^-1), folded ONCE per LM step)
+        # in both padded layouts (zero rows in empty slots), so every
+        # matvec is dense reductions + row gathers instead of gather-table
+        # segment sums — and the per-step Vinv stage disappears:
+        # W V^-1 W^T = (W L)(W L)^T. Indices are clamped+masked instead of
+        # concat-padded (saves the per-step table copy; round-4 measured).
+        # Under psum_axis (distributed shards) the point side is
+        # shard-LOCAL (renumbered tracks, dist_solver.shard_observations)
+        # and the partial camera-space result is all-reduced, exactly like
+        # the layout-free path.
+        Lc = jnp.linalg.cholesky(
+            0.5 * (Vinv + jnp.swapaxes(Vinv, -1, -2))
+            + 1e-30 * jnp.eye(3, dtype=Vinv.dtype)
+        )
         W_pad = jnp.concatenate([W, jnp.zeros((1, P, 3), W.dtype)])
-        W_pt = W_pad[prob.pt_gather]  # (N, Tp, P, 3)
-        W_cm = W_pad[prob.cam_gather]  # (M, Tc, P, 3)
-        Vinv_cm = jnp.concatenate([Vinv, jnp.zeros((1, 3, 3), Vinv.dtype)])[
-            prob.pts_ind_cam
-        ]  # (M, Tc, 3, 3)
+        W_pt = sm.mm(W_pad[prob.pt_gather], Lc[:, None])  # (N, Tp, P, 3)
+        Lc_pad = jnp.concatenate([Lc, jnp.zeros((1, 3, 3), Lc.dtype)])
+        W_cm = sm.mm(W_pad[prob.cam_gather],
+                     Lc_pad[prob.pts_ind_cam])  # (M, Tc, P, 3)
+        ci_clamp = jnp.minimum(prob.cam_ind_pt, n_cam - 1)
+        ci_mask = (prob.cam_ind_pt < n_cam).astype(U_d.dtype)[..., None]
+        pi_clamp = jnp.minimum(prob.pts_ind_cam, n_pts - 1)
 
         def matvec(x):  # x: (M, P)
             ux = sm.mv(U_d, x)
-            xg = jnp.concatenate([x, jnp.zeros((1, P), x.dtype)])[prob.cam_ind_pt]
-            wtx = jnp.sum(sm.mtv(W_pt, xg), axis=1)  # (N, 3) dense reduce
-            z = sm.mv(Vinv, wtx)
-            zg = jnp.concatenate([z, jnp.zeros((1, 3), z.dtype)])[prob.pts_ind_cam]
-            wz = jnp.sum(sm.mv(W_cm, zg), axis=1)  # (M, P) dense reduce
+            xg = x[ci_clamp] * ci_mask
+            what = jnp.sum(sm.mtv(W_pt, xg), axis=1)  # (N, 3) dense reduce
+            whg = what[pi_clamp]  # sentinel slots have W_cm = 0
+            wz = jnp.sum(sm.mv(W_cm, whg), axis=1)  # (M, P) dense reduce
             out = ux - wz
             if psum_axis is not None:
                 out = jax.lax.psum(out, psum_axis)
@@ -403,8 +434,8 @@ def _cg_schur_solve(U_d, W, Vinv, b, prob: LMProblem, n_cam, cam_opt_mask, cg_it
     # Inverted in f32: TPU XLA has no f64 LU, and preconditioner accuracy
     # is uncritical.
     if dual_layout:
-        Yc = sm.mm(W_cm, Vinv_cm)  # (M, Tc, P, 3)
-        S_diag = U_d - jnp.sum(sm.mbt(Yc, W_cm), axis=1)
+        # folded layout: S_cc = U_cc - sum_t What What^T directly
+        S_diag = U_d - jnp.sum(sm.mbt(W_cm, W_cm), axis=1)
     else:
         Y = sm.mm(W, Vinv[prob.pts_ind])  # (K, P, 3)
         S_diag = U_d - _seg_sum_cam(sm.mbt(Y, W), prob, n_cam)
@@ -427,13 +458,21 @@ def _cg_schur_solve(U_d, W, Vinv, b, prob: LMProblem, n_cam, cam_opt_mask, cg_it
     # cameras plus a PxP matvec. Applied ADDITIVELY to block-Jacobi (both
     # SPD, so the sum stays a valid CG preconditioner).
     if coarse:
-        E = coarse_schur_E(U_d, W, Vinv, prob, m, n_pts,
-                           W_pt=W_pt if dual_layout else None)
+        G = max(1, int(coarse_k))
+        E, Zg = coarse_schur_E(U_d, W, Vinv, prob, m, n_pts,
+                               W_pt=W_pt if dual_layout else None,
+                               n_clusters=G, return_Z=True)
         if psum_axis is not None:
             E = jax.lax.psum(E, psum_axis)
-        Einv = jnp.linalg.inv(
-            (E + jnp.eye(P) * 1e-12).astype(jnp.float32)
-        ).astype(U_d.dtype)
+        # SPD-guarded inverse: drop small/negative eigendirections instead
+        # of inverting them — f32 cancellation in E_top - E_bot makes E
+        # indefinite at late-LM damping, and an indefinite additive term
+        # diverges CG (measured, scripts/bench_coarse_k.py warm=6, G=64)
+        ew, Q = jnp.linalg.eigh(E.reshape(G * P, G * P).astype(jnp.float32))
+        e_floor = jnp.maximum(jnp.max(ew), 1e-30) * 1e-7
+        ew_inv = jnp.where(ew > e_floor, 1.0 / jnp.maximum(ew, e_floor), 0.0)
+        Q = Q.astype(U_d.dtype)
+        ew_inv = ew_inv.astype(U_d.dtype)
 
     if tie_tail:
         # COMMON_K projector: average the trailing tie_tail parameters over
@@ -458,8 +497,9 @@ def _cg_schur_solve(U_d, W, Vinv, b, prob: LMProblem, n_cam, cam_opt_mask, cg_it
         pv = proj(v)
         out = sm.mv(prec, pv)
         if coarse:
-            vc = jnp.sum(pv * m, axis=0)  # Z^T v, (P,)
-            out = out + (Einv @ vc)[None, :]
+            vc = (Zg.T @ pv).reshape(-1)  # Z^T v, (G*P,)
+            core = Q @ (ew_inv * (Q.T @ vc))
+            out = out + Zg @ core.reshape(G, P)
         return proj(out * m + v * (1.0 - m))
 
     b = proj(b * m)
@@ -506,28 +546,44 @@ def _cg_schur_solve(U_d, W, Vinv, b, prob: LMProblem, n_cam, cam_opt_mask, cg_it
     return x.astype(out_dtype)
 
 
-def coarse_schur_E(U_d, W, Vinv, prob: LMProblem, m, n_pts, W_pt=None):
-    """Galerkin coarse operator E = Z_m^T S Z_m of the two-level CG
-    preconditioner, Z_m = m (x) I_P ("the same correction applied to every
-    OPTIMIZABLE camera"; frozen cameras are excluded by the mask m).
+def coarse_schur_E(U_d, W, Vinv, prob: LMProblem, m, n_pts, W_pt=None,
+                   n_clusters=1, return_Z=False):
+    """Galerkin coarse operator E = Z^T S Z of the two-level CG
+    preconditioner, Z = Zg (x) I_P with Zg the (M, G) indicator of G
+    contiguous camera clusters masked by m (frozen cameras excluded).
+    G=1 recovers the round-3 global subspace ("the same correction applied
+    to every optimizable camera") and returns a (P, P) operator.
 
-    Closed form: E = sum_c m_c U_c - sum_n Wsum_n Vinv_n Wsum_n^T with
-    Wsum_n = sum of track n's W blocks over optimizable cameras (m^2 = m).
+    Closed form per cluster pair: E[g,h] = delta_gh sum_{c in g} m_c U_c
+    - sum_n Wsum_{n,g} Vinv_n Wsum_{n,h}^T with Wsum_{n,g} = sum of track
+    n's W blocks over cluster g's optimizable cameras (m^2 = m).
     W_pt: optional track-major padded W layout (dual-layout matvec path);
     otherwise the per-observation W with a segment sum over tracks."""
+    P = U_d.shape[-1]
+    M = U_d.shape[0]
+    G = max(1, int(n_clusters))
     m = m.reshape(-1, 1)
+    groups = jnp.minimum(jnp.arange(M) * G // M, G - 1)
+    Zg = (groups[:, None] == jnp.arange(G)[None, :]).astype(U_d.dtype) * m
     if W_pt is not None:
-        m_pad = jnp.concatenate([m, jnp.zeros((1, 1), m.dtype)])
-        slot_m = m_pad[prob.cam_ind_pt]  # (N, Tp, 1)
-        Wsum = jnp.sum(W_pt * slot_m[..., None], axis=1)  # (N, P, 3)
+        # W_pt is the FOLDED What = W L layout: E_bot = Whsum Whsum^T
+        Zg_pad = jnp.concatenate([Zg, jnp.zeros((1, G), Zg.dtype)])
+        slot_g = Zg_pad[prob.cam_ind_pt]  # (N, Tp, G)
+        Wsum = jnp.einsum("ntpj,ntg->ngpj", W_pt, slot_g)  # (N, G, P, 3)
+        E_bot = jnp.einsum("ngpi,nhqi->gphq", Wsum, Wsum)
     else:
-        mk = m[prob.cam_ind]  # (K, 1)
+        zk = Zg[prob.cam_ind]  # (K, G)
         Wsum = jax.ops.segment_sum(
-            W * mk[..., None], prob.pts_ind, num_segments=n_pts
+            W[:, None] * zk[..., None, None], prob.pts_ind, num_segments=n_pts
         )
-    return jnp.sum(U_d * m[..., None], axis=0) - jnp.einsum(
-        "npi,nij,nqj->pq", Wsum, Vinv, Wsum
-    )
+        E_bot = jnp.einsum("ngpi,nij,nhqj->gphq", Wsum, Vinv, Wsum)
+    E_top = jnp.einsum("mg,mpq,mh->gphq", Zg, U_d, Zg)
+    E = E_top - E_bot
+    if G == 1:
+        E = E.reshape(P, P)
+    if return_Z:
+        return E, Zg
+    return E
 
 
 def lm_step(r, J_cam, J_pt, lam, prob: LMProblem, n_cam, n_pts, cfg: LMConfig,
@@ -571,7 +627,7 @@ def lm_step(r, J_cam, J_pt, lam, prob: LMProblem, n_cam, n_pts, cfg: LMConfig,
             U_d, W, Vinv, b, prob, n_cam, cmask,
             cfg.cg_iters or max(15, min(60, n_cam // 2)), psum_axis,
             cg_rtol=cfg.cg_rtol, tie_tail=cfg.tie_tail, x0=x0_cam,
-            coarse=cfg.cg_coarse,
+            coarse=cfg.cg_coarse, coarse_k=cfg.cg_coarse_k,
         )
 
     # back-substitute tie points: dp = -V^-1 (g_pt + W^T dcam)

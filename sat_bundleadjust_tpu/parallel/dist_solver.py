@@ -498,6 +498,7 @@ def make_distributed_solver(p, ls_params=None, mesh=None):
     cfg = lm_ops.LMConfig(
         loss=ls["loss"], f_scale=float(ls["f_scale"]), max_iter=int(ls["max_iter"]),
         ftol=float(ls["ftol"]), xtol=float(ls["xtol"]), schur_mode="cg",
+        cg_coarse_k=lm_ops.default_coarse_k(p.n_cam),
         tie_tail=p.n_params_k if getattr(p, "common_k", False) else 0,
     )
     mesh = mesh if mesh is not None else make_mesh()

@@ -149,3 +149,35 @@ def test_bad_warm_start_falls_back_to_cold():
     x_bad = _cg_schur_solve(U_d, W, Vinv, b, prob, M, cmask,
                             x0=jnp.full(x_cold.shape, 1e6), **kw)
     assert np.allclose(np.asarray(x_bad), x_cold, atol=0.0, rtol=0.0)
+
+
+def test_multicluster_coarse_E_matches_dense_galerkin():
+    """cg_coarse_k > 1 (round 4): E must equal Z^T S Z for the contiguous-
+    cluster Z = (Zg * m) (x) I_P, including with a frozen camera."""
+    U_d, W, Vinv, b, prob, M, _ = _small_system(seed=5, M=6, P=3, N=8, K=20)
+    P = U_d.shape[-1]
+    N = Vinv.shape[0]
+    cmask = jnp.asarray([0.0] + [1.0] * (M - 1))
+    for G in (2, 3):
+        E = np.asarray(coarse_schur_E(U_d, W, Vinv, prob, cmask, N,
+                                      n_clusters=G)).reshape(G * P, G * P)
+        S = _dense_schur(U_d, W, Vinv, prob, M, P, N)
+        groups = np.minimum(np.arange(M) * G // M, G - 1)
+        Zg = (groups[:, None] == np.arange(G)[None, :]) * np.asarray(cmask)[:, None]
+        Z = np.kron(Zg, np.eye(P))  # (M*P, G*P)
+        E_ref = Z.T @ S @ Z
+        assert np.allclose(E, E_ref, atol=1e-8), G
+
+
+def test_multicluster_coarse_solution_matches_dense():
+    """The G-cluster two-level preconditioner must not change what CG
+    converges TO — only how fast."""
+    U_d, W, Vinv, b, prob, M, cmask = _small_system(seed=7, M=6, P=3, N=8, K=24)
+    P = U_d.shape[-1]
+    N = Vinv.shape[0]
+    S = _dense_schur(U_d, W, Vinv, prob, M, P, N)
+    x_ref = np.linalg.solve(S, np.asarray(b).ravel()).reshape(M, P)
+    for G in (2, 3, 6, 8):  # 8 > M exercises empty clusters
+        x = _cg_schur_solve(U_d, W, Vinv, b, prob, M, cmask,
+                            cg_iters=300, cg_rtol=1e-8, coarse=True, coarse_k=G)
+        assert np.allclose(np.asarray(x), x_ref, atol=1e-5), G
