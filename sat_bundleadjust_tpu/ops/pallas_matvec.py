@@ -157,16 +157,17 @@ def _matvec_kernel_impl(c_ref, wh_ref, xmat_ref, wz_ref, *, P, Tp, H, block_pts)
     h_cols = jax.lax.div(jax.lax.rem(cols, jnp.int32(HP)), jnp.int32(P))
     maskc = (hi == h_cols).astype(jnp.bfloat16)  # (R, NC)
 
-    xcand = jax.lax.dot(oh, xmat_ref[:], preferred_element_type=jnp.bfloat16)
-    masked = xcand * maskc
+    # f32 accumulator (Mosaic requires 32-bit matmul acc); entries are
+    # still exact bf16 split terms (single product each)
+    xcand = jax.lax.dot(oh, xmat_ref[:], preferred_element_type=jnp.float32)
+    masked = xcand * maskc.astype(jnp.float32)
 
     wh = wh_ref[:]
     wtx_cols = []
     for j in range(3):
         whj = wh[:, j * P:(j + 1) * P]
         whS = jnp.broadcast_to(whj[:, None, :], (R, SPLIT * H, P)).reshape(R, NC)
-        wtx_cols.append(jnp.sum(masked.astype(jnp.float32) * whS,
-                                axis=1, keepdims=True))
+        wtx_cols.append(jnp.sum(masked * whS, axis=1, keepdims=True))
     wtx = jnp.concatenate(wtx_cols, axis=1)
 
     what = jnp.sum(wtx.reshape(block_pts, Tp, 3), axis=1)

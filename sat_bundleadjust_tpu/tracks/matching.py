@@ -338,7 +338,9 @@ def match_stereo_pairs(pairs_to_match, features, footprints, utm_coords, tracks_
     in_dir = tracks_config.get("in_dir", "")
     out_dir = tracks_config.get("out_dir", "")
     load = lambda x: np.load(x, mmap_mode="r") if isinstance(x, str) else np.asarray(x)
-    fid = lambda x: get_id(x) if isinstance(x, str) else str(x)
+    # in-memory features (FT_save=False handoff) get a session-local token:
+    # never collides with real cache ids, so no stale-cache false hits
+    fid = lambda x: get_id(x) if isinstance(x, str) else "mem{}".format(id(x))
 
     # multi-process deployments: each host matches ONLY its own pairs on its
     # LOCAL devices and exchanges results through the shared

@@ -61,20 +61,39 @@ class FeatureTracksPipeline:
     # ------------------------------------------------------------------
 
     def run_feature_detection(self):
-        """Reference: ft_pipeline.py:73-105."""
+        """Reference: ft_pipeline.py:73-105.
+
+        Single-process with FT_save=False: detection's in-memory results
+        feed the matcher DIRECTLY (the reference's stages can only talk
+        through the features/ npy exchange, ft_s2p.py:123-124; here the
+        npy cache is an optional persistence layer, not the transport)."""
+        import jax
+
         image_paths = [im.geotiff_path for im in self.images]
         offsets = [im.offset for im in self.images]
+        masks = self.mask_paths if self.config["FT_kp_aoi"] else None
+        # multi-process still exchanges through the shared npy cache
+        handoff = jax.process_count() == 1 and not self.config["FT_save"]
+        cfg = dict(self.config)
+        cfg["FT_save"] = not handoff
+        feats_mem = ft_detection.detect_features_image_sequence(
+            image_paths, masks, offsets, cfg)
+
+        if handoff:
+            self.features = list(feats_mem)
+            self.features_utm = [
+                ft_matching.keypoints_to_utm_coords(
+                    f, im.rpc, im.offset, im.alt or 0.0)
+                for f, im in zip(feats_mem, self.images)
+            ]
+            return
+
         self.features = [
             "{}/features/{}.npy".format(self.output_dir, loader.get_id(p)) for p in image_paths
         ]
         self.features_utm = [
             "{}/features_utm/{}.npy".format(self.output_dir, loader.get_id(p)) for p in image_paths
         ]
-        masks = self.mask_paths if self.config["FT_kp_aoi"] else None
-        cfg = dict(self.config)
-        cfg["FT_save"] = True  # downstream stages read the npy files
-        ft_detection.detect_features_image_sequence(image_paths, masks, offsets, cfg)
-
         # multi-process: UTM coords follow detection's image ownership
         # (same round-robin deal), synced before any host reads cross-host
         from sat_bundleadjust_tpu.parallel import multihost

@@ -189,3 +189,44 @@ def test_aoi_masked_detection(option_scene):
     for m in masks:
         arr = np.load(m)
         assert arr.any()
+
+
+def test_in_memory_handoff_matches_npy_exchange(option_scene):
+    """FT_save=False (round 4): detection's in-memory features feed the
+    matcher directly — same tracks as the npy-exchange path, and no
+    features/ or pairwise_matches/ caches on disk."""
+    from sat_bundleadjust_tpu.tracks.pipeline import FeatureTracksPipeline
+
+    def run_tracks(out_name, ft_save):
+        out_dir = os.path.join(option_scene["root"], out_name)
+        images = [
+            type(im)(im.geotiff_path, im.rpc) for im in option_scene["images"]
+        ]
+        for im in images:
+            im.set_footprint()
+            im.set_camera_center()
+        ft = FeatureTracksPipeline(
+            out_dir, out_dir,
+            {"images": images, "n_adj": 0, "aoi": None},
+            tracks_config={
+                "FT_kp_max": 800,
+                "FT_sift_detection": "tpu",
+                "FT_sift_matching": "bruteforce",
+                "FT_save": ft_save,
+            },
+        )
+        bundle, _ = ft.build_feature_tracks()
+        return out_dir, bundle
+
+    dir_npy, b_npy = run_tracks("out_handoff_npy", True)
+    dir_mem, b_mem = run_tracks("out_handoff_mem", False)
+
+    assert os.path.isdir(os.path.join(dir_npy, "features"))
+    assert not os.path.exists(os.path.join(dir_mem, "features"))
+    assert not os.path.exists(os.path.join(dir_mem, "pairwise_matches"))
+    # in-memory features, not paths
+    assert not isinstance(b_mem["features"][0], str)
+
+    assert np.array_equal(b_npy["pairwise_matches"], b_mem["pairwise_matches"])
+    assert np.array_equal(b_npy["C"], b_mem["C"], equal_nan=True)
+    assert np.array_equal(b_npy["C_v2"], b_mem["C_v2"], equal_nan=True)
