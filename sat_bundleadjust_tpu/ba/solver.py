@@ -218,7 +218,7 @@ class BASolver:
         # run (ops/lm.build_solve), NOT compile keys: the soft-L1 and L2
         # rounds of a pipeline solve share one program
         key = (cfg.ftol, cfg.xtol, cfg.schur_mode, cfg.cg_iters, cfg.cg_rtol,
-               cfg.cg_coarse, cfg.cg_coarse_k, cfg.tie_tail)
+               cfg.cg_coarse, cfg.cg_coarse_k, cfg.tie_tail, cfg.matvec)
         if key not in self._runs:
             self._runs[key] = lm_ops.build_solve(
                 self.residual_fn, self.jac_fn, self.p.n_cam, self.p.n_pts, self.prob, cfg

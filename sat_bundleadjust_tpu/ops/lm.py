@@ -120,6 +120,11 @@ class LMConfig(NamedTuple):
     # cancellation in E = Z^T S Z can make it indefinite, and a plain
     # inverse then DIVERGES the whole CG (measured at 64 clusters).
     cg_coarse_k: int = 1
+    # CG matvec implementation: "aos" = the dual-layout XLA matvec;
+    # "pallas" = the fused one-hot kernel (ops/pallas_matvec); "auto" =
+    # pallas on TPU for large problems (>=100k obs slots, Tp <= 16),
+    # aos otherwise.
+    matvec: str = "auto"
     # COMMON_K (reference: ba_params.py:167-171): number of TRAILING
     # per-camera parameters tied to one shared value across all
     # optimizable cameras. Solved by projected CG (null-space method): the
@@ -356,7 +361,7 @@ def _dense_mxu_schur_solve(U_d, W, Vinv, b, prob: LMProblem, n_cam, cam_opt_mask
 
 def _cg_schur_solve(U_d, W, Vinv, b, prob: LMProblem, n_cam, cam_opt_mask, cg_iters,
                     psum_axis=None, cg_rtol=1e-2, tie_tail=0, x0=None,
-                    coarse=True, coarse_k=1):
+                    coarse=True, coarse_k=1, matvec_impl="auto"):
     """Matrix-free CG on the Schur complement, in float32.
 
     matvec(x) = U x - W V^-1 W^T x via gathers + segment sums. When
@@ -403,16 +408,43 @@ def _cg_schur_solve(U_d, W, Vinv, b, prob: LMProblem, n_cam, cam_opt_mask, cg_it
         ci_mask = (prob.cam_ind_pt < n_cam).astype(U_d.dtype)[..., None]
         pi_clamp = jnp.minimum(prob.pts_ind_cam, n_pts - 1)
 
-        def matvec(x):  # x: (M, P)
-            ux = sm.mv(U_d, x)
-            xg = x[ci_clamp] * ci_mask
-            what = jnp.sum(sm.mtv(W_pt, xg), axis=1)  # (N, 3) dense reduce
-            whg = what[pi_clamp]  # sentinel slots have W_cm = 0
-            wz = jnp.sum(sm.mv(W_cm, whg), axis=1)  # (M, P) dense reduce
-            out = ux - wz
-            if psum_axis is not None:
-                out = jax.lax.psum(out, psum_axis)
-            return out * m + x * (1.0 - m)
+        from sat_bundleadjust_tpu.ops import pallas_matvec as pmv
+
+        use_pallas = matvec_impl == "pallas" or (
+            matvec_impl == "auto"
+            and jax.default_backend() == "tpu"
+            and prob.pt_gather.shape[1] <= pmv.MAX_TP
+            and prob.pt_gather.size >= 100_000
+        )
+        if use_pallas:
+            # the fused Pallas kernel: both camera-axis crossings as
+            # in-VMEM one-hot MXU dots instead of the per-row-bound XLA
+            # gathers (4.4 of the 4.3 ms step at 1000 cams)
+            Wh_soa, c_soa, pmeta = pmv.build_wh_operands(
+                W.astype(jnp.float32), Vinv.astype(jnp.float32), prob, n_cam)
+            interp = os.environ.get("SATBA_PALLAS_INTERPRET", "0") == "1"
+
+            def matvec(x):  # x: (M, P)
+                ux = sm.mv(U_d, x)
+                wz = pmv.schur_wz(x.astype(jnp.float32), Wh_soa, c_soa,
+                                  pmeta, interpret=interp).astype(x.dtype)
+                out = ux - wz
+                if psum_axis is not None:
+                    out = jax.lax.psum(out, psum_axis)
+                return out * m + x * (1.0 - m)
+
+        else:
+
+            def matvec(x):  # x: (M, P)
+                ux = sm.mv(U_d, x)
+                xg = x[ci_clamp] * ci_mask
+                what = jnp.sum(sm.mtv(W_pt, xg), axis=1)  # (N, 3) dense reduce
+                whg = what[pi_clamp]  # sentinel slots have W_cm = 0
+                wz = jnp.sum(sm.mv(W_cm, whg), axis=1)  # (M, P) dense reduce
+                out = ux - wz
+                if psum_axis is not None:
+                    out = jax.lax.psum(out, psum_axis)
+                return out * m + x * (1.0 - m)
 
     else:
 
@@ -628,6 +660,7 @@ def lm_step(r, J_cam, J_pt, lam, prob: LMProblem, n_cam, n_pts, cfg: LMConfig,
             cfg.cg_iters or max(15, min(60, n_cam // 2)), psum_axis,
             cg_rtol=cfg.cg_rtol, tie_tail=cfg.tie_tail, x0=x0_cam,
             coarse=cfg.cg_coarse, coarse_k=cfg.cg_coarse_k,
+            matvec_impl=cfg.matvec,
         )
 
     # back-substitute tie points: dp = -V^-1 (g_pt + W^T dcam)

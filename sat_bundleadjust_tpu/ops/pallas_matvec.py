@@ -151,8 +151,10 @@ def _matvec_kernel(c_ref, wh_ref, xmat_ref, wz_ref, *, P, Tp, H, block_pts):
     whatr = wtx
     for d in range(1, Tp):
         # pltpu.roll requires non-negative shifts: -d == R - d (cyclic)
-        fwd = pltpu.roll(wtx, R - d, 1) * (lane_t < Tp - d).astype(jnp.float32)
-        bwd = pltpu.roll(wtx, d, 1) * (lane_t >= d).astype(jnp.float32)
+        # int32 shifts: under jax_enable_x64 a Python int traces as i64,
+        # which Mosaic's dynamic_rotate rejects
+        fwd = pltpu.roll(wtx, jnp.int32(R - d), 1) * (lane_t < Tp - d).astype(jnp.float32)
+        bwd = pltpu.roll(wtx, jnp.int32(d), 1) * (lane_t >= d).astype(jnp.float32)
         whatr = whatr + fwd + bwd
 
     # ---- y[p, k] = sum_j What[k, p, j] * whatr[j, k]
