@@ -201,11 +201,13 @@ def schur_wz(x, Wh_soa, c_flat, meta, interpret=False):
         kern,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((1, R), lambda i: (0, i)),
-            pl.BlockSpec((3 * P, R), lambda i: (0, i)),
-            pl.BlockSpec((NC, LO), lambda i: (0, 0)),
+            # i * 0 instead of literal 0: under jax_enable_x64 a Python 0
+            # traces as i64 and Mosaic rejects the mixed (i64, i32) index
+            pl.BlockSpec((1, R), lambda i: (i * 0, i)),
+            pl.BlockSpec((3 * P, R), lambda i: (i * 0, i)),
+            pl.BlockSpec((NC, LO), lambda i: (i * 0, i * 0)),
         ],
-        out_specs=pl.BlockSpec((NC, LO), lambda i: (0, 0)),
+        out_specs=pl.BlockSpec((NC, LO), lambda i: (i * 0, i * 0)),
         out_shape=jax.ShapeDtypeStruct((NC, LO), jnp.float32),
         interpret=interpret,
     )(c_flat, Wh_soa, xmat)
