@@ -87,3 +87,32 @@ def test_pallas_matvec_linear_and_zero_preserving():
     sep = f(x1) + 2.0 * f(x2)
     scale = max(np.abs(sep).max(), 1e-30)
     assert np.abs(lin - sep).max() <= 1e-5 * scale
+
+
+def test_pallas_matvec_in_distributed_solver(monkeypatch):
+    """The fused matvec must compose with shard_map (per-shard kernel +
+    psum): distributed solve through the pallas path == aos path."""
+    from sat_bundleadjust_tpu.parallel.dist_solver import make_distributed_solver
+    from sat_bundleadjust_tpu.parallel.mesh import make_mesh
+
+    monkeypatch.setenv("SATBA_PALLAS_INTERPRET", "1")
+    scene = make_scene_arrays(n_cam=16, n_pts=2000, obs_per_pt=4,
+                              rot_scale=2e-5, noise_px=0.1, seed=3)
+    p = scene_to_baparams(scene, noise_pts=1.0)
+    mesh = make_mesh()
+    ls = {"ftol": 1e-30, "xtol": 1e-30, "max_iter": 4}
+    cam0 = jnp.asarray(p.opt_block())
+    pts0 = jnp.asarray(p.pts3d)
+
+    outs = {}
+    for mv in ("aos", "pallas"):
+        solver = make_distributed_solver(p, dict(ls), mesh=mesh)
+        solver.cfg = solver.cfg._replace(matvec=mv)
+        cam, pts, info = solver.solve(cam0, pts0, cfg=solver.cfg)
+        outs[mv] = (np.asarray(cam), np.asarray(info["err_fin"]))
+
+    cam_a, err_a = outs["aos"]
+    cam_p, err_p = outs["pallas"]
+    assert abs(float(err_a.mean()) - float(err_p.mean())) <= 1e-4
+    scale = max(np.abs(cam_a).max(), 1e-30)
+    assert np.abs(cam_a - cam_p).max() <= 1e-4 * scale
