@@ -86,12 +86,21 @@ def build_wh_operands(W, Vinv, prob, n_cam, block_pts=512):
 
 
 def _split3(v, dtype=jnp.bfloat16):
-    """Three exact bf16 terms summing to v at ~f32 precision."""
-    t0 = v.astype(dtype)
-    r1 = v - t0.astype(v.dtype)
-    t1 = r1.astype(dtype)
-    t2 = (r1 - t1.astype(v.dtype)).astype(dtype)
-    return t0, t1, t2
+    """Three exact bf16 terms summing to v at ~f32 precision.
+
+    Rounding goes through lax.reduce_precision (f32 dtype, bf16 grid):
+    the deployment compiles with --xla_allow_excess_precision=true, under
+    which a plain f32->bf16->f32 round-trip may be ELIDED — the split
+    residuals then silently collapse to zero while the MXU still
+    truncates its operands, and the kernel loses the exactness contract
+    (measured on-chip: 1e-3..2e-2 relative error scaling with problem
+    size). reduce_precision is not elidable; the final casts are exact
+    because the values already sit on the bf16 grid."""
+    t0 = jax.lax.reduce_precision(v, 8, 7)
+    r1 = v - t0
+    t1 = jax.lax.reduce_precision(r1, 8, 7)
+    t2 = jax.lax.reduce_precision(r1 - t1, 8, 7)
+    return t0.astype(dtype), t1.astype(dtype), t2.astype(dtype)
 
 
 def _build_xmat(x, H, P):
