@@ -85,21 +85,30 @@ def build_wh_operands(W, Vinv, prob, n_cam, block_pts=512):
     return Wh_soa, c.reshape(1, Kp), meta
 
 
-def _split3(v, dtype=jnp.bfloat16):
-    """Three exact bf16 terms summing to v at ~f32 precision.
+def _round_bf16_grid(v):
+    """Round f32 to the bf16 grid (round-to-nearest-even), staying f32.
 
-    Rounding goes through lax.reduce_precision (f32 dtype, bf16 grid):
+    Integer bit arithmetic instead of astype or lax.reduce_precision:
     the deployment compiles with --xla_allow_excess_precision=true, under
-    which a plain f32->bf16->f32 round-trip may be ELIDED — the split
+    which an f32->bf16->f32 round-trip may be ELIDED — the split
     residuals then silently collapse to zero while the MXU still
-    truncates its operands, and the kernel loses the exactness contract
-    (measured on-chip: 1e-3..2e-2 relative error scaling with problem
-    size). reduce_precision is not elidable; the final casts are exact
-    because the values already sit on the bf16 grid."""
-    t0 = jax.lax.reduce_precision(v, 8, 7)
+    truncates its operands (measured on-chip: 1e-3..2e-2 relative error
+    scaling with problem size) — and reduce_precision has no Pallas TPU
+    lowering. The uint32 add-carry RNE cannot be elided."""
+    u = jax.lax.bitcast_convert_type(v, jnp.uint32)
+    lsb = jax.lax.shift_right_logical(u, jnp.uint32(16)) & jnp.uint32(1)
+    u = (u + jnp.uint32(0x7FFF) + lsb) & jnp.uint32(0xFFFF0000)
+    return jax.lax.bitcast_convert_type(u, jnp.float32)
+
+
+def _split3(v, dtype=jnp.bfloat16):
+    """Three exact bf16 terms summing to v at ~f32 precision. The final
+    casts are exact: the values already sit on the bf16 grid."""
+    v = v.astype(jnp.float32)
+    t0 = _round_bf16_grid(v)
     r1 = v - t0
-    t1 = jax.lax.reduce_precision(r1, 8, 7)
-    t2 = jax.lax.reduce_precision(r1 - t1, 8, 7)
+    t1 = _round_bf16_grid(r1)
+    t2 = _round_bf16_grid(r1 - t1)
     return t0.astype(dtype), t1.astype(dtype), t2.astype(dtype)
 
 
