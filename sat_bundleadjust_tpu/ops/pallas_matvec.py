@@ -52,7 +52,7 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
-def build_wh_operands(W, Vinv, prob, n_cam, block_pts=512):
+def build_wh_operands(W, Vinv, prob, n_cam, block_pts=None):
     """Per-LM-step operands for the fused matvec.
 
     W: (K, P, 3) f32 per-obs blocks; Vinv: (N, 3, 3) SPD. Returns
@@ -64,6 +64,11 @@ def build_wh_operands(W, Vinv, prob, n_cam, block_pts=512):
     P = W.shape[1]
     N = Vinv.shape[0]
     Tp = prob.pt_gather.shape[1]
+    if block_pts is None:
+        # ~8192 obs lanes per chunk: fastest measured (0.89 vs 1.04
+        # ms/matvec at 2048 vs 512 points, Tp=4, 1000 cams) while keeping
+        # VMEM bounded for larger Tp
+        block_pts = max(256, 8192 // Tp)
     Np = _cdiv(N, block_pts) * block_pts
     Kp = Np * Tp
     H = _cdiv(n_cam + 1, LO)
