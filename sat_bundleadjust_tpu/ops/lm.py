@@ -110,15 +110,16 @@ class LMConfig(NamedTuple):
     # against its step budget without this.
     cg_coarse: bool = True
     # number of contiguous camera clusters in the coarse level. 1 = the
-    # round-3 global subspace. More clusters damp regional low modes the
-    # global vector cannot represent: measured (scripts/bench_coarse_k.py,
-    # 300 cams, mid-LM state lam~1e-5) PCG steps to tolerance drop
-    # 139 -> 46 at 64 clusters and 400+ -> 207 at lam~1e-6 with 16.
-    # Cameras are clustered by index, which follows acquisition-date order
-    # in real scenes. E is inverted through an eigendecomposition with
-    # small/negative eigenvalues dropped: at late-LM damping, f32
-    # cancellation in E = Z^T S Z can make it indefinite, and a plain
-    # inverse then DIVERGES the whole CG (measured at 64 clusters).
+    # round-3 global subspace (and the default: at the 1000-cam solve,
+    # G>1 leaves the wall unchanged — CG is budget-capped either way —
+    # and only adds per-LM-step coarse build cost, despite cutting PCG
+    # step counts 139 -> 46 in isolated 300-cam mid-LM probes,
+    # scripts/bench_coarse_k.py). Cameras cluster by index, which follows
+    # acquisition-date order in real scenes. E is inverted through a
+    # ridge-regularized Cholesky with a non-finite guard: at late-LM
+    # damping, f32 cancellation in E = Z^T S Z can make it indefinite,
+    # and an indefinite additive term DIVERGES the whole CG (measured at
+    # 64 clusters) — the guard drops the coarse level for that step.
     cg_coarse_k: int = 1
     # CG matvec implementation: "aos" = the dual-layout XLA matvec;
     # "pallas" = the fused one-hot kernel (ops/pallas_matvec); "auto" =
@@ -142,7 +143,11 @@ def default_coarse_k(n_cam):
     env = os.environ.get("SATBA_CG_COARSE_K")
     if env is not None:
         return max(1, int(env))
-    return int(np.clip(n_cam // 16, 1, 64))
+    # measured at the 1000-cam solve (round 4): G>1 does not reduce the
+    # wall (CG is budget-capped either way) and adds per-LM-step coarse
+    # build cost — the G=64 step-count wins from the 300-cam mid-LM PCG
+    # probes do not transfer. Default stays the global cluster.
+    return 1
 
 
 def build_intra_track_pairs(pts_ind, n_pts):
@@ -496,15 +501,21 @@ def _cg_schur_solve(U_d, W, Vinv, b, prob: LMProblem, n_cam, cam_opt_mask, cg_it
                                n_clusters=G, return_Z=True)
         if psum_axis is not None:
             E = jax.lax.psum(E, psum_axis)
-        # SPD-guarded inverse: drop small/negative eigendirections instead
-        # of inverting them — f32 cancellation in E_top - E_bot makes E
-        # indefinite at late-LM damping, and an indefinite additive term
-        # diverges CG (measured, scripts/bench_coarse_k.py warm=6, G=64)
-        ew, Q = jnp.linalg.eigh(E.reshape(G * P, G * P).astype(jnp.float32))
-        e_floor = jnp.maximum(jnp.max(ew), 1e-30) * 1e-7
-        ew_inv = jnp.where(ew > e_floor, 1.0 / jnp.maximum(ew, e_floor), 0.0)
-        Q = Q.astype(U_d.dtype)
-        ew_inv = ew_inv.astype(U_d.dtype)
+        # SPD-guarded inverse WITHOUT eigh (TPU eigh on small matrices
+        # costs tens of ms per LM step — measured +1.4 s on the 1000-cam
+        # solve): ridge-regularized Cholesky inverse, and if E is still
+        # not SPD (f32 cancellation in E_top - E_bot at late-LM damping;
+        # an indefinite additive term DIVERGES CG — measured,
+        # scripts/bench_coarse_k.py warm=6, G=64) the non-finite result
+        # is detected and the coarse level is dropped for this step.
+        GP = G * P
+        E_f = E.reshape(GP, GP).astype(jnp.float32)
+        ridge = jnp.trace(E_f) / GP * 1e-6 + 1e-30
+        Lch = jnp.linalg.cholesky(E_f + ridge * jnp.eye(GP, dtype=jnp.float32))
+        Einv = jax.scipy.linalg.cho_solve(
+            (Lch, True), jnp.eye(GP, dtype=jnp.float32))
+        Einv = jnp.where(jnp.all(jnp.isfinite(Einv)), Einv,
+                         jnp.zeros_like(Einv)).astype(U_d.dtype)
 
     if tie_tail:
         # COMMON_K projector: average the trailing tie_tail parameters over
@@ -530,8 +541,7 @@ def _cg_schur_solve(U_d, W, Vinv, b, prob: LMProblem, n_cam, cam_opt_mask, cg_it
         out = sm.mv(prec, pv)
         if coarse:
             vc = (Zg.T @ pv).reshape(-1)  # Z^T v, (G*P,)
-            core = Q @ (ew_inv * (Q.T @ vc))
-            out = out + Zg @ core.reshape(G, P)
+            out = out + Zg @ (Einv @ vc).reshape(G, P)
         return proj(out * m + v * (1.0 - m))
 
     b = proj(b * m)

@@ -44,7 +44,11 @@ import jax
 import jax.numpy as jnp
 
 LO = 64  # low-level one-hot width
-SPLIT = 3  # bf16 split terms: 3 -> f32-exact crossing
+# bf16 split terms per crossed value: 3 -> ~2^-24 reconstruction (f32
+# roundoff level); SATBA_PALLAS_SPLIT overrides for experiments
+import os as _os
+
+SPLIT = int(_os.environ.get("SATBA_PALLAS_SPLIT", "3"))
 MAX_TP = 16  # beyond this the roll-based track reduce stops being cheap
 
 
@@ -107,14 +111,17 @@ def _round_bf16_grid(v):
 
 
 def _split3(v, dtype=jnp.bfloat16):
-    """Three exact bf16 terms summing to v at ~f32 precision. The final
-    casts are exact: the values already sit on the bf16 grid."""
+    """SPLIT exact bf16 terms summing to v (~2^-8 per extra term; 3 is
+    f32-roundoff level). The final casts are exact: the values already
+    sit on the bf16 grid."""
     v = v.astype(jnp.float32)
-    t0 = _round_bf16_grid(v)
-    r1 = v - t0
-    t1 = _round_bf16_grid(r1)
-    t2 = _round_bf16_grid(r1 - t1)
-    return t0.astype(dtype), t1.astype(dtype), t2.astype(dtype)
+    terms = []
+    rem = v
+    for _ in range(SPLIT):
+        t = _round_bf16_grid(rem)
+        terms.append(t.astype(dtype))
+        rem = rem - t
+    return tuple(terms)
 
 
 def _build_xmat(x, H, P):
@@ -186,8 +193,7 @@ def _matvec_kernel(c_ref, wh_ref, xmat_ref, wz_ref, *, P, Tp, H, block_pts):
              for j in range(3)) for p in range(P)], axis=0)  # (P, R)
 
     # ---- crossing 2: wz as ohT-contraction of split y broadcast over rows
-    y0, y1, y2 = _split3(y)
-    ys = jnp.stack((y0, y1, y2), axis=1)  # (P, SPLIT, R)
+    ys = jnp.stack(_split3(y), axis=1)  # (P, SPLIT, R)
     ybroadT = jnp.broadcast_to(
         ys[:, :, None, :], (P, SPLIT, H, R)).reshape(NC, R)
     Y2T = ybroadT * maskT_b  # (NC, R) exact bf16 terms
