@@ -400,10 +400,7 @@ def _cg_schur_solve(U_d, W, Vinv, b, prob: LMProblem, n_cam, cam_opt_mask, cg_it
         # shard-LOCAL (renumbered tracks, dist_solver.shard_observations)
         # and the partial camera-space result is all-reduced, exactly like
         # the layout-free path.
-        Lc = jnp.linalg.cholesky(
-            0.5 * (Vinv + jnp.swapaxes(Vinv, -1, -2))
-            + 1e-30 * jnp.eye(3, dtype=Vinv.dtype)
-        )
+        Lc = sm.chol3x3(0.5 * (Vinv + jnp.swapaxes(Vinv, -1, -2)))
         W_pad = jnp.concatenate([W, jnp.zeros((1, P, 3), W.dtype)])
         W_pt = sm.mm(W_pad[prob.pt_gather], Lc[:, None])  # (N, Tp, P, 3)
         Lc_pad = jnp.concatenate([Lc, jnp.zeros((1, 3, 3), Lc.dtype)])

@@ -77,10 +77,10 @@ def build_wh_operands(W, Vinv, prob, n_cam, block_pts=None):
     Kp = Np * Tp
     H = _cdiv(n_cam + 1, LO)
 
-    Lc = jnp.linalg.cholesky(
-        0.5 * (Vinv + jnp.swapaxes(Vinv, -1, -2))
-        + 1e-30 * jnp.eye(3, dtype=Vinv.dtype)
-    ).astype(jnp.float32)
+    from sat_bundleadjust_tpu.ops import smallmat as sm
+
+    Lc = sm.chol3x3(
+        0.5 * (Vinv + jnp.swapaxes(Vinv, -1, -2))).astype(jnp.float32)
     W_pad = jnp.concatenate([W.astype(jnp.float32),
                              jnp.zeros((1, P, 3), jnp.float32)])
     Wh_pt = jnp.einsum("ntpi,nij->ntpj", W_pad[prob.pt_gather], Lc)  # (N,Tp,P,3)

@@ -86,3 +86,34 @@ def mbt(a, b):
             cols.append(acc)
         rows.append(jnp.stack(cols, axis=-1))
     return jnp.stack(rows, axis=-2)
+
+
+def chol3x3(A, eps=0.0):
+    """Batched closed-form Cholesky of SPD (..., 3, 3) matrices.
+
+    jnp.linalg.cholesky lowers to the generic blocked algorithm, which is
+    slow for huge batches of tiny matrices on TPU (measured ~+70 ms per
+    LM step at 200k points); the unrolled formulas are a handful of fused
+    VPU ops. eps: additive diagonal jitter."""
+    a11 = A[..., 0, 0] + eps
+    a21 = A[..., 1, 0]
+    a31 = A[..., 2, 0]
+    a22 = A[..., 1, 1] + eps
+    a32 = A[..., 2, 1]
+    a33 = A[..., 2, 2] + eps
+    tiny = jnp.asarray(1e-30, A.dtype)
+    l11 = jnp.sqrt(jnp.maximum(a11, tiny))
+    l21 = a21 / l11
+    l31 = a31 / l11
+    l22 = jnp.sqrt(jnp.maximum(a22 - l21 * l21, tiny))
+    l32 = (a32 - l31 * l21) / l22
+    l33 = jnp.sqrt(jnp.maximum(a33 - l31 * l31 - l32 * l32, tiny))
+    z = jnp.zeros_like(l11)
+    return jnp.stack(
+        [
+            jnp.stack([l11, z, z], axis=-1),
+            jnp.stack([l21, l22, z], axis=-1),
+            jnp.stack([l31, l32, l33], axis=-1),
+        ],
+        axis=-2,
+    )
