@@ -29,7 +29,12 @@ def enable_persistent_cache(path=None):
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+        # cache EVERYTHING: on the tunneled deployment even a trivial
+        # eager op pays ~0.5 s of remote compile, and ops under the 1 s
+        # default threshold were never written — measured 73 such misses
+        # (~35 s) per fresh process (scripts/probe_compile_cache.py);
+        # the large programs were hitting all along
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         return None
