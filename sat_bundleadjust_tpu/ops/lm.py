@@ -121,10 +121,11 @@ class LMConfig(NamedTuple):
     # and an indefinite additive term DIVERGES the whole CG (measured at
     # 64 clusters) — the guard drops the coarse level for that step.
     cg_coarse_k: int = 1
-    # CG matvec implementation: "aos" = the dual-layout XLA matvec;
-    # "pallas" = the fused one-hot kernel (ops/pallas_matvec); "auto" =
-    # pallas on TPU for large problems (>=100k obs slots, Tp <= 16),
-    # aos otherwise.
+    # CG matvec implementation: "aos" = the dual-layout XLA matvec
+    # (default; "auto" currently resolves to it — see _cg_schur_solve);
+    # "pallas" = the fused one-hot kernel (ops/pallas_matvec), 4.3x per
+    # matvec but with a measured late-LM CG quality penalty at 1000-cam
+    # conditioning.
     matvec: str = "auto"
     # COMMON_K (reference: ba_params.py:167-171): number of TRAILING
     # per-camera parameters tied to one shared value across all
@@ -412,11 +413,16 @@ def _cg_schur_solve(U_d, W, Vinv, b, prob: LMProblem, n_cam, cam_opt_mask, cg_it
 
         from sat_bundleadjust_tpu.ops import pallas_matvec as pmv
 
-        use_pallas = matvec_impl == "pallas" or (
-            matvec_impl == "auto"
-            and jax.default_backend() == "tpu"
-            and prob.pt_gather.shape[1] <= pmv.MAX_TP
-            and prob.pt_gather.size >= 100_000
+        # "auto" resolves to the XLA matvec: the fused kernel is 4.3x
+        # faster per matvec (0.89 vs 4.3 ms at 1000 cams) and passes
+        # f32-level parity everywhere, but its point-major summation
+        # order measurably degrades LATE-LM CG at 1000-cam conditioning
+        # (solve stalls at 0.46 px where the slot-major order reaches
+        # 0.098 px; the pure-jnp twin reproduces it, so it is the
+        # algebra's rounding structure, not the kernel). Opt in with
+        # matvec="pallas" where early-LM throughput dominates.
+        use_pallas = matvec_impl == "pallas" and (
+            prob.pt_gather.shape[1] <= pmv.MAX_TP
         )
         if use_pallas:
             # the fused Pallas kernel: both camera-axis crossings as

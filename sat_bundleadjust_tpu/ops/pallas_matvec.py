@@ -39,6 +39,7 @@ inside scipy TRF's implicit normal equations (ba_core.py:284-297).
 """
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -68,11 +69,14 @@ def build_wh_operands(W, Vinv, prob, n_cam, block_pts=None):
     P = W.shape[1]
     N = Vinv.shape[0]
     Tp = prob.pt_gather.shape[1]
+    # R = block_pts * Tp must be a multiple of 128 (Mosaic lane tiling)
+    lane_q = 128 // math.gcd(Tp, 128)
     if block_pts is None:
         # ~8192 obs lanes per chunk: fastest measured (0.89 vs 1.04
         # ms/matvec at 2048 vs 512 points, Tp=4, 1000 cams) while keeping
         # VMEM bounded for larger Tp
         block_pts = max(256, 8192 // Tp)
+    block_pts = _cdiv(block_pts, lane_q) * lane_q
     Np = _cdiv(N, block_pts) * block_pts
     Kp = Np * Tp
     H = _cdiv(n_cam + 1, LO)
