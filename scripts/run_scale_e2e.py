@@ -131,6 +131,10 @@ def main():
         "FT_sift_matching": "epipolar_based",
         "clean_outliers": True, "save_figures": False,
     }
+    # SATBA_SCALE_NOSAVE=1: in-memory detection->matching handoff
+    # (FT_save=False, round 4) — measures the npy-exchange cost
+    if os.environ.get("SATBA_SCALE_NOSAVE") == "1":
+        cfg["FT_save"] = False
     # SATBA_SCALE_RESET=0 reuses the previous run's feature/match caches
     # (iterating on a post-matching failure without re-matching)
     cfg["reset"] = os.environ.get("SATBA_SCALE_RESET", "1") == "1"
