@@ -612,7 +612,16 @@ _CHUNK_PX = 4 * 300 * 400
 
 
 def _auto_chunk(h, w):
-    return max(1, min(BATCH_CHUNK, _CHUNK_PX // max(h * w, 1)))
+    import jax
+
+    if jax.default_backend() == "cpu":
+        return max(1, min(BATCH_CHUNK, _CHUNK_PX // max(h * w, 1)))
+    # accelerator: every chunk costs ~0.5 s of tunnel dispatch/fetch
+    # protocol regardless of batch size, and the 512^2-frame config-#4
+    # run paid it PER FRAME (chunk=1 under the CPU-sized pixel budget:
+    # 167 s of detection for 100 frames). Batch as many frames as HBM
+    # comfortably holds.
+    return max(1, min(16, 16_000_000 // max(h * w, 1)))
 
 
 def detect_sift_batch(images, thresh_dog=0.0133, n_octaves=8, n_scales=3,
