@@ -205,11 +205,13 @@ def _matvec_kernel(c_ref, wh_ref, xmat_ref, wz_ref, *, P, Tp, H, block_pts):
         Y2T, ohT, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)  # (NC, LO)
 
-    @pl.when(pl.program_id(0) == 0)
-    def _():
-        wz_ref[:] = jnp.zeros_like(wz_ref)
-
-    wz_ref[:] += wz_part
+    # per-chunk PARTIAL output; the cross-chunk reduction happens in XLA
+    # as a tree sum. Accumulating sequentially across the grid here
+    # (+= on a revisited block) loses ~sqrt(n_chunks) precision vs the
+    # tree, and at 1000-cam Schur cancellation that sequential error is
+    # exactly what degraded late-LM CG (round-4 diagnosis: the jnp twin
+    # with scatter-add segment_sum reproduced the same degradation).
+    wz_ref[0, :, :] = wz_part
 
 
 def schur_wz(x, Wh_soa, c_flat, meta, interpret=False):
@@ -240,10 +242,11 @@ def schur_wz(x, Wh_soa, c_flat, meta, interpret=False):
             pl.BlockSpec((3 * P, R), lambda i: (i * 0, i)),
             pl.BlockSpec((NC, LO), lambda i: (i * 0, i * 0)),
         ],
-        out_specs=pl.BlockSpec((NC, LO), lambda i: (i * 0, i * 0)),
-        out_shape=jax.ShapeDtypeStruct((NC, LO), jnp.float32),
+        out_specs=pl.BlockSpec((1, NC, LO), lambda i: (i, i * 0, i * 0)),
+        out_shape=jax.ShapeDtypeStruct((grid, NC, LO), jnp.float32),
         interpret=interpret,
     )(c_flat, Wh_soa, xmat)
+    wzmat = jnp.sum(wzmat, axis=0)  # XLA tree reduction across chunks
 
     # row (p*SPLIT + s)*H + h, col l -> wz[h*LO + l, p], summing s
     wz = wzmat.reshape(P, SPLIT, H, LO).sum(axis=1)  # (P, H, LO)
