@@ -137,10 +137,9 @@ class LMConfig(NamedTuple):
 
 
 def default_coarse_k(n_cam):
-    """Default cluster count for the coarse CG level: ~1 cluster per 16
-    cameras, capped at 64 (E stays <= 192x192 and the per-LM-step Wsum
-    build O(K * G * P * 3) stays far below one CG step). Override with
-    SATBA_CG_COARSE_K."""
+    """Default cluster count for the coarse CG level: G=1 (the global
+    cluster). Multi-cluster coarse levels are opt-in via SATBA_CG_COARSE_K
+    or LMConfig.cg_coarse_k — see the measurement note below."""
     env = os.environ.get("SATBA_CG_COARSE_K")
     if env is not None:
         return max(1, int(env))
@@ -421,10 +420,37 @@ def _cg_schur_solve(U_d, W, Vinv, b, prob: LMProblem, n_cam, cam_opt_mask, cg_it
         # 0.098 px; the pure-jnp twin reproduces it, so it is the
         # algebra's rounding structure, not the kernel). Opt in with
         # matvec="pallas" where early-LM throughput dominates.
-        use_pallas = matvec_impl == "pallas" and (
-            prob.pt_gather.shape[1] <= pmv.MAX_TP
-        )
-        if use_pallas:
+        pallas_ok = prob.pt_gather.shape[1] <= pmv.MAX_TP
+        if matvec_impl == "pallas" and not pallas_ok:
+            import warnings
+
+            warnings.warn(
+                "matvec='pallas' requested but the track-major slot width "
+                "Tp={} exceeds pallas_matvec.MAX_TP={}; falling back to the "
+                "XLA dual-layout matvec".format(
+                    prob.pt_gather.shape[1], pmv.MAX_TP),
+                stacklevel=2,
+            )
+        use_pallas = matvec_impl == "pallas" and pallas_ok
+        use_twin = matvec_impl.startswith("twin")
+        if use_twin:
+            # pure-jnp twins of the fused kernel with selectable camera-side
+            # accumulation (pm / f64 / slice) — CPU-testable pins of the
+            # kernel's numerics (see pallas_matvec.schur_wz_twin)
+            accum = matvec_impl.split("_", 1)[1] if "_" in matvec_impl else "slice"
+            Wh_soa, c_soa, pmeta = pmv.build_wh_operands(
+                W.astype(jnp.float32), Vinv.astype(jnp.float32), prob, n_cam)
+
+            def matvec(x):  # x: (M, P)
+                ux = sm.mv(U_d, x)
+                wz = pmv.schur_wz_twin(x.astype(jnp.float32), Wh_soa, c_soa,
+                                       pmeta, accum=accum).astype(x.dtype)
+                out = ux - wz
+                if psum_axis is not None:
+                    out = jax.lax.psum(out, psum_axis)
+                return out * m + x * (1.0 - m)
+
+        elif use_pallas:
             # the fused Pallas kernel: both camera-axis crossings as
             # in-VMEM one-hot MXU dots instead of the per-row-bound XLA
             # gathers (4.4 of the 4.3 ms step at 1000 cams)

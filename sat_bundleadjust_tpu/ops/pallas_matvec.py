@@ -147,6 +147,7 @@ def _matvec_kernel(c_ref, wh_ref, xmat_ref, wz_ref, *, P, Tp, H, block_pts):
     R = block_pts * Tp
     SH = SPLIT * H
     NC = P * SH
+    NC2 = P * S_CAM * H
 
     c = c_ref[:]  # (1, R) int32
     lo = jax.lax.rem(c, jnp.int32(LO))
@@ -160,7 +161,6 @@ def _matvec_kernel(c_ref, wh_ref, xmat_ref, wz_ref, *, P, Tp, H, block_pts):
         jax.lax.broadcasted_iota(jnp.int32, (NC, R), 0), jnp.int32(H))
     maskT = hi == rows_h  # (NC, R) bool
     maskT_f = maskT.astype(jnp.float32)
-    maskT_b = maskT.astype(jnp.bfloat16)
 
     # ---- crossing 1: xcandT[row, k] = split term of x[64*h(row)+lo_k, p(row)]
     xcandT = jax.lax.dot_general(
@@ -196,21 +196,43 @@ def _matvec_kernel(c_ref, wh_ref, xmat_ref, wz_ref, *, P, Tp, H, block_pts):
         [sum(wh[p * 3 + j:p * 3 + j + 1, :] * whatr[j:j + 1, :]
              for j in range(3)) for p in range(P)], axis=0)  # (P, R)
 
-    # ---- crossing 2: wz as ohT-contraction of split y broadcast over rows
-    ys = jnp.stack(_split3(y), axis=1)  # (P, SPLIT, R)
+    # ---- crossing 2: wz as ohT-contraction of FIXED-POINT slices of y.
+    # Unlike crossing 1 (one nonzero product per output: value-relative
+    # bf16 splits suffice), this dot ACCUMULATES up to R contributions per
+    # camera in the f32 MXU accumulator, and the Schur cancellation at
+    # 1000-cam conditioning amplifies that summation rounding (round-4/5
+    # diagnosis; the wide-accumulator twins also HALVE the LM iteration
+    # count at 1000 cams). Fixed-point slicing makes the accumulation
+    # error-free: per p row, S_CAM slices of 8 bits on a common
+    # power-of-two ulp derived from the chunk max — every slice value is
+    # bf16-exact AND every f32 partial sum of up to 2^16 of them is an
+    # exactly-representable multiple of the ulp. The only loss is the
+    # dropped residual below slice S_CAM (~2^-40 of the chunk max at the
+    # default 5 slices); slice sums cross chunks exactly via the f64
+    # combine in schur_wz.
+    rows_h2 = jax.lax.rem(
+        jax.lax.broadcasted_iota(jnp.int32, (NC2, R), 0), jnp.int32(H))
+    mask2_b = (hi == rows_h2).astype(jnp.bfloat16)  # (NC2, R)
+    u = _fixedpoint_ulp(jnp.max(jnp.abs(y), axis=1, keepdims=True))  # (P, 1)
+    terms = []
+    r = y
+    for _ in range(S_CAM):
+        q = _slice_fixedpoint(r, u)
+        terms.append(q.astype(jnp.bfloat16))  # exact: 8-bit multiples of u
+        r = r - q
+        u = u * jnp.float32(2.0 ** -8)
+    ys = jnp.stack(terms, axis=1)  # (P, S_CAM, R)
     ybroadT = jnp.broadcast_to(
-        ys[:, :, None, :], (P, SPLIT, H, R)).reshape(NC, R)
-    Y2T = ybroadT * maskT_b  # (NC, R) exact bf16 terms
+        ys[:, :, None, :], (P, S_CAM, H, R)).reshape(NC2, R)
+    Y2T = ybroadT * mask2_b  # (NC2, R) exact bf16 slice terms
     wz_part = jax.lax.dot_general(
         Y2T, ohT, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)  # (NC, LO)
+        preferred_element_type=jnp.float32)  # (NC2, LO), all sums EXACT
 
-    # per-chunk PARTIAL output; the cross-chunk reduction happens in XLA
-    # as a tree sum. Accumulating sequentially across the grid here
-    # (+= on a revisited block) loses ~sqrt(n_chunks) precision vs the
-    # tree, and at 1000-cam Schur cancellation that sequential error is
-    # exactly what degraded late-LM CG (round-4 diagnosis: the jnp twin
-    # with scatter-add segment_sum reproduced the same degradation).
+    # per-chunk PARTIAL output; the cross-chunk + cross-slice reduction
+    # happens in XLA in f64 (schur_wz) — together with the exact in-chunk
+    # slice sums the camera-side reduction is effectively a wide
+    # accumulator, independent of observation order.
     wz_ref[0, :, :] = wz_part
 
 
@@ -226,6 +248,7 @@ def schur_wz(x, Wh_soa, c_flat, meta, interpret=False):
     Np = meta["Np"]
     R = block_pts * Tp
     NC = P * SPLIT * H
+    NC2 = P * S_CAM * H
     grid = Np // block_pts
 
     xmat = _build_xmat(x, H, P)
@@ -242,15 +265,108 @@ def schur_wz(x, Wh_soa, c_flat, meta, interpret=False):
             pl.BlockSpec((3 * P, R), lambda i: (i * 0, i)),
             pl.BlockSpec((NC, LO), lambda i: (i * 0, i * 0)),
         ],
-        out_specs=pl.BlockSpec((1, NC, LO), lambda i: (i, i * 0, i * 0)),
-        out_shape=jax.ShapeDtypeStruct((grid, NC, LO), jnp.float32),
+        out_specs=pl.BlockSpec((1, NC2, LO), lambda i: (i, i * 0, i * 0)),
+        out_shape=jax.ShapeDtypeStruct((grid, NC2, LO), jnp.float32),
         interpret=interpret,
     )(c_flat, Wh_soa, xmat)
-    wzmat = jnp.sum(wzmat, axis=0)  # XLA tree reduction across chunks
+    # cross-chunk + cross-slice combine in f64: the per-chunk per-slice
+    # camera sums are EXACT f32 values (fixed-point slicing in-kernel), so
+    # this reduction makes the whole camera-side accumulation effectively
+    # a wide accumulator (a tiny (grid, NC2, LO) operand — f64 emulation
+    # cost is negligible next to the kernel)
+    wzmat = jnp.sum(wzmat.astype(jnp.float64), axis=0)
 
-    # row (p*SPLIT + s)*H + h, col l -> wz[h*LO + l, p], summing s
-    wz = wzmat.reshape(P, SPLIT, H, LO).sum(axis=1)  # (P, H, LO)
-    return wz.reshape(P, H * LO).T[:M]  # (M, P)
+    # row (p*S_CAM + s)*H + h, col l -> wz[h*LO + l, p], summing s
+    wz = wzmat.reshape(P, S_CAM, H, LO).sum(axis=1)  # (P, H, LO)
+    return wz.reshape(P, H * LO).T[:M].astype(jnp.float32)  # (M, P)
+
+
+S_CAM = int(_os.environ.get("SATBA_PALLAS_CAM_SLICES", "5"))
+
+
+def _fixedpoint_ulp(m, bits_down=7):
+    """Largest slice ulp u = 2^(E - bits_down) with 2^E >= m, from the f32
+    exponent field (no log2). m: positive f32 (0 -> tiny u, harmless: all
+    slices come out zero)."""
+    mb = jax.lax.bitcast_convert_type(m.astype(jnp.float32), jnp.uint32)
+    e = jax.lax.shift_right_logical(mb, jnp.uint32(23)) & jnp.uint32(0xFF)
+    # u = 2^(e - 127 + 1 - bits_down); clamp so the exponent field stays
+    # in (0, 255) (no denormals/infs)
+    eu = jnp.clip(e.astype(jnp.int32) + 1 - bits_down, 1, 254)
+    return jax.lax.bitcast_convert_type(
+        jax.lax.shift_left(eu.astype(jnp.uint32), jnp.uint32(23)), jnp.float32)
+
+
+def _slice_fixedpoint(r, u):
+    """Round r to the nearest multiple of the power-of-two u (RNE), via the
+    big-constant add/sub trick (exact for |r| <= 2^22 u; here |r| <= 2^7 u).
+    Pure f32 adds — cannot be elided under --xla_allow_excess_precision,
+    and each output is an integer multiple k*u with |k| <= 128, i.e. an
+    8-significant-bit value: exactly representable in bf16, and f32 sums
+    of up to 2^16 of them are EXACT (all partial sums are multiples of u
+    below 2^24 u)."""
+    c = u * jnp.float32(1.5 * 2.0 ** 23)
+    return (r + c) - c
+
+
+def schur_wz_twin(x, Wh_soa, c_flat, meta, accum="slice", block_pts=None,
+                  n_slices=None):
+    """Pure-jnp twins of the fused kernel with selectable CAMERA-SIDE
+    accumulation (the round-4 diagnosis localized the pallas-vs-aos solve
+    gap to exactly this reduction's f32 rounding at 1000-cam Schur
+    cancellation):
+
+      accum="pm"    — point-major f32 segment_sum (== schur_wz_reference;
+                      reproduces the round-4 degradation)
+      accum="f64"   — f64 segment_sum (ground-truth wide accumulator)
+      accum="slice" — the kernel's fix, simulated faithfully: per-chunk
+                      per-row fixed-point slicing (n_slices x 8-bit
+                      common-ulp slices -> every in-chunk f32 camera sum
+                      is EXACT) + f64 cross-chunk/cross-slice combine.
+
+    Used by tests to pin solve-quality parity of the slice scheme on CPU.
+    """
+    P = meta["P"]
+    Tp = meta["Tp"]
+    M = meta["n_cam"]
+    Np = meta["Np"]
+    Kp = Np * Tp
+    if block_pts is None:
+        block_pts = meta["block_pts"]
+    if n_slices is None:
+        n_slices = S_CAM
+    c = c_flat.reshape(-1)
+    Wh = Wh_soa.T.reshape(Kp, P, 3)
+    xpad = jnp.concatenate([x.astype(jnp.float32), jnp.zeros((1, P), jnp.float32)])
+    xg = xpad[jnp.minimum(c, M)]
+    wtx = jnp.einsum("kpj,kp->kj", Wh, xg)
+    what = jnp.sum(wtx.reshape(Np, Tp, 3), axis=1)
+    whatr = jnp.broadcast_to(what[:, None, :], (Np, Tp, 3)).reshape(Kp, 3)
+    y = jnp.einsum("kpj,kj->kp", Wh, whatr)  # (Kp, P)
+    y = jnp.where((c < M)[:, None], y, 0.0)
+    seg = jnp.minimum(c, M - 1)
+    if accum == "pm":
+        return jax.ops.segment_sum(y, seg, num_segments=M)
+    if accum == "f64":
+        return jax.ops.segment_sum(
+            y.astype(jnp.float64), seg, num_segments=M).astype(jnp.float32)
+    # accum == "slice": mirror the kernel chunking
+    grid = Np // block_pts
+    R = block_pts * Tp
+    yc = y.reshape(grid, R, P)
+    segc = (jnp.arange(grid)[:, None] * M + seg.reshape(grid, R)).reshape(-1)
+    u0 = _fixedpoint_ulp(jnp.max(jnp.abs(yc), axis=1))  # (grid, P)
+    total = jnp.zeros((grid, M, P), jnp.float64)
+    r = yc
+    u = u0
+    for _ in range(n_slices):
+        q = _slice_fixedpoint(r, u[:, None, :])
+        part = jax.ops.segment_sum(  # EXACT f32 sums by construction
+            q.reshape(grid * R, P), segc, num_segments=grid * M)
+        total = total + part.reshape(grid, M, P).astype(jnp.float64)
+        r = r - q
+        u = u * jnp.float32(2.0 ** -8)
+    return jnp.sum(total, axis=0).astype(jnp.float32)
 
 
 def schur_wz_reference(x, Wh_soa, c_flat, meta):

@@ -116,3 +116,46 @@ def test_pallas_matvec_in_distributed_solver(monkeypatch):
     assert abs(float(err_a.mean()) - float(err_p.mean())) <= 1e-4
     scale = max(np.abs(cam_a).max(), 1e-30)
     assert np.abs(cam_a - cam_p).max() <= 1e-4 * scale
+
+
+def test_camera_side_wide_accumulation():
+    """Round-5 contract: the kernel's camera-side reduction is a wide
+    accumulator. The fixed-point slice twin must equal the f64
+    segment-sum ground truth EXACTLY (every in-chunk f32 slice sum is an
+    exactly-representable multiple of the slice ulp; the cross-chunk
+    combine is f64), and the kernel itself must sit at the residual f32
+    roundoff of the y chain — far below any f32 summation-order noise."""
+    p, prob, W, Vinv, P, N, M = _wz_system(200, 2400)
+    Wh, c, meta = pmv.build_wh_operands(W, Vinv, prob, M, block_pts=256)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(M, P)), jnp.float32)
+
+    f64 = np.asarray(pmv.schur_wz_twin(x, Wh, c, meta, accum="f64"))
+    sl = np.asarray(pmv.schur_wz_twin(x, Wh, c, meta, accum="slice"))
+    pal = np.asarray(pmv.schur_wz(x, Wh, c, meta, interpret=True))
+    scale = np.abs(f64).max()
+    assert np.array_equal(sl, f64)
+    assert np.abs(pal - f64).max() <= 2e-7 * scale
+
+
+def test_solve_quality_wide_accumulator_twins():
+    """Full LM solves through the point-major twins reach the aos solve's
+    optimum (the round-4 degradation scenario, pinned at suite scale)."""
+    from sat_bundleadjust_tpu.ops import lm as lm_ops
+
+    scene = make_scene_arrays(n_cam=100, n_pts=8000, obs_per_pt=4,
+                              rot_scale=2e-5, noise_px=0.1, seed=0)
+    p = scene_to_baparams(scene, noise_pts=1.0)
+    solver = BASolver(p, schur_mode="cg")
+    cam0 = jnp.asarray(p.opt_block())
+    pts0 = jnp.asarray(p.pts3d)
+
+    errs = {}
+    for mv in ("aos", "twin_slice"):
+        cfg = lm_ops.LMConfig(schur_mode="cg", matvec=mv, max_iter=30)
+        _, _, info = lm_ops.solve(
+            solver.residual_fn, solver.jac_fn, cam0, pts0, solver.prob, cfg,
+            run=solver._get_run(cfg))
+        errs[mv] = float(np.mean(info["err_fin"]))
+    assert errs["aos"] < 0.2
+    assert errs["twin_slice"] <= errs["aos"] + 5e-3
