@@ -264,6 +264,148 @@ def accept_from_packed(packed, pair_feats, vi, method, rel_thr, abs_thr):
     return out
 
 
+def stage_frames_for_matching(frames):
+    """Stage per-frame keypoints on the device ONCE for
+    match_pairs_2nn_staged (TPU path). frames: list of (N, 132) float
+    feature arrays (nan-padded rows allowed).
+
+    Returns None when any frame's descriptors are not exact integers in
+    0..255 (the caller then uses the host-packed f32 path); otherwise a
+    dict with:
+      desc  — (n_frames, n_f, 128) int8 device array (descriptor - 128)
+      hpts  — (n_frames, n_f, 3) f32 device array, homogeneous (x, y, 1)
+      n_f   — common padded row count
+
+    Rationale (round-5 matching rework): the host-packed path re-sends
+    every frame's descriptors over the device link once per pair (~27x
+    per frame at the config-#4 1350-pair scale, 1.9 GB on a ~90 MB/s
+    tunnel) and pays GB-scale f32 pack/convert/rint-scan temps on the
+    host; staging each frame once cuts the transfer to ~70 MB and moves
+    pair-operand assembly onto the device as gathers."""
+    n_frames = len(frames)
+    if n_frames == 0:
+        return None
+    n_f = -(-max(max(int(np.asarray(f).shape[0]) for f in frames), 1) // 512) * 512
+    desc = np.zeros((n_frames, n_f, 128), np.int8)
+    hpts = np.zeros((n_frames, n_f, 3), np.float32)
+    hpts[:, :, 2] = 1.0
+    for fidx, f in enumerate(frames):
+        f = np.asarray(f)
+        k = f.shape[0]
+        d = np.nan_to_num(f[:, 4:])
+        if (d.min(initial=0.0) < 0.0 or d.max(initial=0.0) > 255.0
+                or not np.array_equal(d, np.rint(d))):
+            return None
+        desc[fidx, :k] = (d - 128.0).astype(np.int8)
+        hpts[fidx, :k, :2] = np.nan_to_num(f[:, :2])
+    return {
+        "desc": jax.device_put(jnp.asarray(desc)),
+        "hpts": jax.device_put(jnp.asarray(hpts)),
+        "n_f": n_f,
+    }
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _staged_chunk_match(desc, hpts, frame_i, ii, mi, frame_j, jj, mj, Fmat,
+                        thr, interpret=False):
+    """Device-side pair-operand assembly + batched int8 2-NN kernel.
+
+    desc/hpts: staged frame tables; frame_i/j: (B,) int32; ii/jj: (B, n)
+    int32 row indices into the frame tables (0 on padding slots); mi/mj:
+    (B, n) f32 validity; Fmat: (B, 3, 3) f32 (identity when the epipolar
+    gate is off); thr: (B,) f32 per-pair epipolar threshold."""
+    from sat_bundleadjust_tpu.ops.pallas_match import pallas_2nn_batched_i8
+
+    di = desc[frame_i[:, None], ii]  # (B, n1, 128) int8 gather
+    dj = desc[frame_j[:, None], jj]  # (B, n2, 128)
+    hi = hpts[frame_i[:, None], ii]  # (B, n1, 3)
+    hj = hpts[frame_j[:, None], jj]  # (B, n2, 3)
+    li = jnp.einsum("bnk,blk->bnl", hi, Fmat)  # h_i @ F^T per pair
+    return pallas_2nn_batched_i8(di, dj, li, hj, mi, mj, thr,
+                                 interpret=interpret)
+
+
+def match_pairs_2nn_staged(staged, pair_frames, pair_idx, pair_F,
+                           rel_thr=0.6, abs_thr=250.0, method="relative",
+                           epipolar_thr=EPIPOLAR_THR, max_bytes=None,
+                           interpret=False):
+    """2-NN + ratio stage for many pairs against device-staged frames.
+
+    staged: stage_frames_for_matching output; pair_frames: list of
+    (frame_i, frame_j) indices; pair_idx: list of (idx_i, idx_j) row
+    subsets (the UTM-bbox restriction); pair_F: per-pair (3, 3) F or
+    None. Same return contract as match_pairs_2nn_batched. Chunks pairs
+    under an operand-byte budget; all dispatches enqueue asynchronously
+    and drain in one pass."""
+    import os
+
+    B = len(pair_frames)
+    if B == 0:
+        return []
+    if max_bytes is None:
+        max_bytes = int(os.environ.get("SATBA_MATCH_MAX_BYTES", 1 << 30))
+    sizes = [max(len(pi), 1) for pi, _ in pair_idx]
+    order = np.argsort(sizes, kind="stable")
+    results = [None] * B
+    pending = []
+    c0 = 0
+    while c0 < B:
+        chunk = [order[c0]]
+        c1 = c0 + 1
+        while c1 < B:
+            trial = chunk + [order[c1]]
+            n1 = -(-max(max(len(pair_idx[q][0]) for q in trial), 1) // 256) * 256
+            n2 = -(-max(max(len(pair_idx[q][1]) for q in trial), 1) // 512) * 512
+            if len(trial) * (n1 + n2) * 131 * 4 > max_bytes:
+                break
+            chunk = trial
+            c1 += 1
+        c0 = c1
+
+        n1 = -(-max(max(len(pair_idx[q][0]) for q in chunk), 1) // 256) * 256
+        n2 = -(-max(max(len(pair_idx[q][1]) for q in chunk), 1) // 512) * 512
+        # round the batch up (dummy pairs: empty validity, gate off) so
+        # chunk shapes repeat across runs and reuse compilations
+        Bc = -(-len(chunk) // 32) * 32
+        fi_a = np.zeros(Bc, np.int32)
+        fj_a = np.zeros(Bc, np.int32)
+        ii = np.zeros((Bc, n1), np.int32)
+        jj = np.zeros((Bc, n2), np.int32)
+        mi = np.zeros((Bc, n1), np.float32)
+        mj = np.zeros((Bc, n2), np.float32)
+        Fm = np.broadcast_to(np.eye(3, dtype=np.float32), (Bc, 3, 3)).copy()
+        thr = np.full(Bc, 1e9, np.float32)
+        for b, q in enumerate(chunk):
+            pi, pj = pair_idx[q]
+            fi_a[b], fj_a[b] = pair_frames[q]
+            ii[b, : len(pi)] = pi
+            jj[b, : len(pj)] = pj
+            mi[b, : len(pi)] = 1.0
+            mj[b, : len(pj)] = 1.0
+            if pair_F[q] is not None:
+                Fm[b] = np.asarray(pair_F[q], np.float32)
+                thr[b] = float(epipolar_thr)
+        packed = _staged_chunk_match(
+            staged["desc"], staged["hpts"],
+            jnp.asarray(fi_a), jnp.asarray(ii), jnp.asarray(mi),
+            jnp.asarray(fj_a), jnp.asarray(jj), jnp.asarray(mj),
+            jnp.asarray(Fm), jnp.asarray(thr), interpret=interpret)
+        pending.append((chunk, packed, mi))
+
+    for chunk, packed, mi in pending:  # drain async dispatches
+        packed = np.asarray(packed)
+        for b, q in enumerate(chunk):
+            ki = len(pair_idx[q][0])
+            d1, d2, nn = packed[b, 0, :ki], packed[b, 1, :ki], packed[b, 2, :ki]
+            if method == "relative":
+                accepted = d1 < (rel_thr ** 2) * d2
+            else:
+                accepted = d1 < abs_thr ** 2
+            accepted &= (d1 < 5e11) & (mi[b, :ki] > 0)
+            results[q] = (nn.astype(np.int64), accepted)
+    return results
+
+
 def match_pairs_2nn_batched(pair_feats, pair_F, rel_thr=0.6, abs_thr=250.0,
                             method="relative", epipolar_thr=EPIPOLAR_THR):
     """2-NN + ratio/epipolar stage for MANY pairs in one device dispatch.

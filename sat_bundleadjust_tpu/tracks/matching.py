@@ -38,6 +38,37 @@ import uuid as _uuid
 _MEM_TOKEN_SESSION = _uuid.uuid4().hex[:8]
 
 
+class _FrameCache:
+    """Budget-bounded LRU of DECODED per-frame arrays (features / UTM
+    coords). The round-4 config-#4 profile charged 75.1 s of the matching
+    wall to re-reading + fancy-indexing each frame's npy once per pair
+    (~27x per frame at 1350 pairs, tracks/matching.py pass 1); decoding
+    each frame once and slicing in memory removes that tax. Budget via
+    SATBA_FEATURE_CACHE_MB (default 4096); eviction is LRU, which matches
+    the i-grouped order of real pair lists."""
+
+    def __init__(self, budget_mb=None):
+        from collections import OrderedDict
+
+        if budget_mb is None:
+            budget_mb = int(os.environ.get("SATBA_FEATURE_CACHE_MB", 4096))
+        self.budget = budget_mb * (1 << 20)
+        self.entries = OrderedDict()
+        self.bytes = 0
+
+    def get(self, key, source):
+        if key in self.entries:
+            self.entries.move_to_end(key)
+            return self.entries[key]
+        arr = np.load(source) if isinstance(source, str) else np.asarray(source)
+        self.entries[key] = arr
+        self.bytes += arr.nbytes
+        while self.bytes > self.budget and len(self.entries) > 1:
+            _, old = self.entries.popitem(last=False)
+            self.bytes -= old.nbytes
+        return arr
+
+
 def _guard_mem_token(npy_name):
     """In-memory feature tokens are session-local and must never be
     persisted: a cache file named after one would produce stale false
@@ -383,6 +414,24 @@ def match_stereo_pairs(pairs_to_match, features, footprints, utm_coords, tracks_
         local_devs = jax.local_devices()
         mesh = make_mesh(devices=local_devs) if len(local_devs) > 1 else False
 
+    # staged matching (TPU, single device): frames go to the device ONCE
+    # and pair operands assemble on-device (ops/match.py round-5 rework);
+    # the matcher then only needs the coordinate columns host-side (for
+    # RANSAC/UTM finalize), so pass 1 slices slim (k, 2) views. Falls
+    # back to full host packing when staging declines (non-integer
+    # descriptors) or on other backends / mesh runs.
+    staged_intent = (
+        jax.default_backend() == "tpu"
+        and os.environ.get("SATBA_MATCH_BATCHED", "1") == "1"
+        and os.environ.get("SATBA_MATCH_STAGED", "1") == "1"
+        and len(jax.local_devices()) == 1
+        and (mesh is None or mesh is False)
+    ) and tracks_config["FT_sift_matching"] in (
+        "epipolar_based", "bruteforce", "flann", "absolute")
+
+    frame_cache = _FrameCache()
+    utm_cache = _FrameCache()
+
     # pass 1: resolve caches, restrict uncached pairs to their UTM bbox
     _timing = {"prep_s": 0.0, "nn_s": 0.0, "finalize_s": 0.0, "assemble_s": 0.0}
     t_prep = time.time()
@@ -391,6 +440,7 @@ def match_stereo_pairs(pairs_to_match, features, footprints, utm_coords, tracks_
     from_cache = [False] * len(pairs_to_match)
     remote = []  # uncached pairs another process owns (multi-process only)
     to_match = []  # (idx, fi, fj, idx_i, idx_j, utm_i, utm_j)
+    to_match_frames = []  # (i, j) aligned with to_match (staged path)
     for idx, (i, j) in enumerate(pairs_to_match):
         npy_id1 = "{}_{}.npy".format(fid(features[i]), fid(features[j]))
         npy_id2 = "{}_{}.npy".format(fid(features[j]), fid(features[i]))
@@ -419,7 +469,8 @@ def match_stereo_pairs(pairs_to_match, features, footprints, utm_coords, tracks_
         _timing["prep_poly_s"] = _timing.get("prep_poly_s", 0.0) + time.time() - t_sub
         if utm_polygon.coords.shape[0] < 3:
             continue
-        utm_i, utm_j = load(utm_coords[i]), load(utm_coords[j])
+        utm_i = utm_cache.get(i, utm_coords[i])
+        utm_j = utm_cache.get(j, utm_coords[j])
         east_poly = utm_polygon.coords[:, 0]
         north_poly = utm_polygon.coords[:, 1]
         idx_i = get_pt_indices_inside_utm_bbx(
@@ -433,9 +484,18 @@ def match_stereo_pairs(pairs_to_match, features, footprints, utm_coords, tracks_
         if len(idx_i) == 0 or len(idx_j) == 0:
             continue
         t_sub = time.time()
-        fi = np.asarray(load(features[i])[idx_i])
-        fj = np.asarray(load(features[j])[idx_j])
-        to_match.append((idx, fi, fj, idx_i, idx_j, np.asarray(utm_i), np.asarray(utm_j)))
+        frame_i = frame_cache.get(i, features[i])
+        frame_j = frame_cache.get(j, features[j])
+        if staged_intent:
+            # the staged matcher gathers descriptors on-device; the host
+            # only needs keypoint coordinates (RANSAC / UTM finalize)
+            fi = frame_i[idx_i, :2]
+            fj = frame_j[idx_j, :2]
+        else:
+            fi = np.asarray(frame_i[idx_i])
+            fj = np.asarray(frame_j[idx_j])
+        to_match.append((idx, fi, fj, idx_i, idx_j, utm_i, utm_j))
+        to_match_frames.append((i, j))
         _timing["prep_io_s"] = _timing.get("prep_io_s", 0.0) + time.time() - t_sub
 
     _timing["prep_s"] += time.time() - t_prep
@@ -455,7 +515,32 @@ def match_stereo_pairs(pairs_to_match, features, footprints, utm_coords, tracks_
             for (idx, *_rest) in to_match
         ]
         t_nn = time.time()
-        if not use_mesh:
+        method = "absolute" if method_cfg == "absolute" else "relative"
+        nn_results = None
+        if staged_intent and not use_mesh:
+            # stage each frame on-device once; pair operands assemble as
+            # device gathers (ops/match.py round-5 rework — kills the
+            # per-pair descriptor transfer and host packing temps)
+            from sat_bundleadjust_tpu.ops import match as match_ops
+
+            frames_used = sorted({f for ij in to_match_frames for f in ij})
+            fmap = {f: k for k, f in enumerate(frames_used)}
+            staged = match_ops.stage_frames_for_matching(
+                [frame_cache.get(f, features[f]) for f in frames_used])
+            if staged is not None:
+                nn_results = match_ops.match_pairs_2nn_staged(
+                    staged,
+                    [(fmap[i], fmap[j]) for (i, j) in to_match_frames],
+                    [(idx_i, idx_j)
+                     for (_, _, _, idx_i, idx_j, *_r) in to_match],
+                    pair_F,
+                    rel_thr=float(tracks_config["FT_rel_thr"]),
+                    abs_thr=float(tracks_config["FT_abs_thr"]),
+                    method=method,
+                )
+        if nn_results is not None:
+            pass
+        elif not use_mesh:
             # one batched Pallas dispatch + one packed fetch for ALL pairs
             # on a single TPU (a tunneled chip pays ~100 ms of round trips
             # per per-pair launch); on other backends the same entry point
@@ -463,9 +548,19 @@ def match_stereo_pairs(pairs_to_match, features, footprints, utm_coords, tracks_
             # pairs share compilations (ops/match.match_pairs_2nn_batched)
             from sat_bundleadjust_tpu.ops.match import match_pairs_2nn_batched
 
-            method = "absolute" if method_cfg == "absolute" else "relative"
+            if staged_intent:
+                # staging declined (non-integer descriptors): the host
+                # packer needs full 132-column slices
+                pair_feats = [
+                    (np.asarray(frame_cache.get(i, features[i])[idx_i]),
+                     np.asarray(frame_cache.get(j, features[j])[idx_j]))
+                    for ((i, j), (_, _, _, idx_i, idx_j, *_r))
+                    in zip(to_match_frames, to_match)
+                ]
+            else:
+                pair_feats = [(fi, fj) for (_, fi, fj, *_r) in to_match]
             nn_results = match_pairs_2nn_batched(
-                [(fi, fj) for (_, fi, fj, *_r) in to_match], pair_F,
+                pair_feats, pair_F,
                 rel_thr=float(tracks_config["FT_rel_thr"]),
                 abs_thr=float(tracks_config["FT_abs_thr"]),
                 method=method,

@@ -185,3 +185,76 @@ def test_pallas_i8_matches_f32_on_integer_descriptors():
         jnp.asarray(vi), jnp.asarray(vj), jnp.asarray(thr), interpret=True,
     ))
     np.testing.assert_array_equal(i8, f32)
+
+
+def test_match_pairs_2nn_staged_matches_host_packed():
+    """Round-5 staged matcher (frames staged on device once, pair
+    operands gathered on-device) must reproduce the host-packed batched
+    path's (nn, accepted) results — integer-descriptor frames, epipolar
+    gate on for some pairs, UTM-bbox row subsets."""
+    from sat_bundleadjust_tpu.ops.match import (
+        match_pairs_2nn_batched,
+        match_pairs_2nn_staged,
+        stage_frames_for_matching,
+    )
+
+    rng = np.random.RandomState(3)
+    frames = []
+    for k in (500, 650, 380):
+        f = np.zeros((k, 132), np.float32)
+        f[:, :2] = rng.rand(k, 2) * 400
+        f[:, 2] = 1.0 + rng.rand(k)
+        f[:, 4:] = rng.randint(0, 256, size=(k, 128)).astype(np.float32)
+        frames.append(f)
+    # overlapping descriptor content between frames 0/1 and 1/2
+    frames[1][:200, 4:] = frames[0][:200, 4:]
+    frames[2][:150, 4:] = frames[1][100:250, 4:]
+
+    pair_frames = [(0, 1), (1, 2), (0, 2)]
+    pair_idx = [
+        (np.arange(0, 450), np.arange(0, 600)),
+        (np.arange(50, 640), np.arange(0, 380)),
+        (np.arange(0, 500), np.arange(10, 370)),
+    ]
+    Fs = [None,
+          np.array([[0.0, 1e-4, -0.02], [-1e-4, 0.0, 0.03], [0.02, -0.03, 1.0]],
+                   np.float32),
+          None]
+
+    staged = stage_frames_for_matching(frames)
+    assert staged is not None
+    got = match_pairs_2nn_staged(
+        staged, pair_frames, pair_idx, Fs, rel_thr=0.8, interpret=True)
+
+    # oracle: the SAME pallas kernel fed host-packed operands (the lax
+    # matcher behind match_pairs_2nn_batched on CPU uses a two-sided
+    # epipolar gate, so it is not the comparison target here)
+    from sat_bundleadjust_tpu.ops.match import accept_from_packed, pack_pairs
+    from sat_bundleadjust_tpu.ops.pallas_match import pallas_2nn_batched_i8
+
+    pair_feats = [
+        (frames[i][pi], frames[j][pj])
+        for (i, j), (pi, pj) in zip(pair_frames, pair_idx)
+    ]
+    p = pack_pairs(pair_feats, Fs)
+    packed = pallas_2nn_batched_i8(
+        jnp.asarray((p["di"] - 128.0).astype(np.int8)),
+        jnp.asarray((p["dj"] - 128.0).astype(np.int8)),
+        jnp.asarray(p["li"]), jnp.asarray(p["hj"]),
+        jnp.asarray(p["vi"]), jnp.asarray(p["vj"]), jnp.asarray(p["thr"]),
+        interpret=True,
+    )
+    want = accept_from_packed(np.asarray(packed), pair_feats, p["vi"],
+                              "relative", 0.8, 250.0)
+
+    for (nn_g, acc_g), (nn_w, acc_w) in zip(got, want):
+        assert np.array_equal(acc_g, acc_w)
+        assert np.array_equal(nn_g[acc_g], nn_w[acc_w])
+
+
+def test_stage_frames_declines_non_integer_descriptors():
+    from sat_bundleadjust_tpu.ops.match import stage_frames_for_matching
+
+    f = np.zeros((32, 132), np.float32)
+    f[:, 4:] = 0.5  # not integer-valued
+    assert stage_frames_for_matching([f]) is None
