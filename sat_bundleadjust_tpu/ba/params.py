@@ -135,6 +135,22 @@ class BAParams:
         if self.ref_cam_weight > 1.0:
             self.pts2d_w[self.cam_ind == 0] = self.ref_cam_weight
 
+        self._set_param_layout()
+
+        if self.verbose:
+            print("\nDefining bundle adjustment parameters...")
+            print("     - cam_params_to_optimize: {}".format(self.cam_params_to_optimize))
+            print("{} 3d points, {} fixed and {} to be optimized".format(self.n_pts, self.n_pts_fix, self.n_pts_opt))
+            print("{} cameras, {} fixed and {} to be optimized".format(self.n_cam, self.n_cam_fix, self.n_cam_opt))
+            print("{} parameters to optimize per camera\n".format(self.n_params))
+
+    # ------------------------------------------------------------------
+
+    def _set_param_layout(self):
+        """Parameter-vector layout, frozen-entity masks, batched RPC pytree
+        and solver-output slots (reference: ba_params.py:151-176); shared by
+        the C-matrix constructor and from_obs_table."""
+        cam_model = self.cam_model
         # how many per-camera parameters are optimized
         # (reference: ba_params.py:151-171)
         n_params = 0
@@ -170,21 +186,68 @@ class BAParams:
         self.pts_opt_mask[: self.n_pts_fix] = 0.0
 
         # batched RPC pytree for the device path
-        self.rpcs = stack_rpcs(self.cameras) if cam_model == "rpc" else None
+        self.rpcs = stack_rpcs(self.cameras) if self.cam_model == "rpc" else None
 
         # filled by the solver
         self.pts3d_ba = None
         self.cameras_ba = None
         self.estimated_params = None
 
-        if self.verbose:
-            print("\nDefining bundle adjustment parameters...")
-            print("     - cam_params_to_optimize: {}".format(self.cam_params_to_optimize))
-            print("{} 3d points, {} fixed and {} to be optimized".format(self.n_pts, self.n_pts_fix, self.n_pts_opt))
-            print("{} cameras, {} fixed and {} to be optimized".format(self.n_cam, self.n_cam_fix, self.n_cam_opt))
-            print("{} parameters to optimize per camera\n".format(self.n_params))
+    @classmethod
+    def from_obs_table(cls, pts_ind, cam_ind, pts2d, pts3d, cameras, cam_model,
+                      camera_centers, pairs_to_triangulate=None, d=None):
+        """Scalable construction from a flat observation table — no dense
+        correspondence matrix is ever materialized.
 
-    # ------------------------------------------------------------------
+        The C matrix is (2M, N) float64: 3.2 GB at the 1000-cam/200k-track
+        config-#5 scale (the dominant term of bench_dist_scale's 13.1 GB
+        host RSS) and quadratic in scene size, while the solvers only ever
+        consume the flat (pts_ind, cam_ind, pts2d) table the reference
+        itself converts C into (ba_params.py:139-149). The table is sorted
+        to the C path's point-major (point, camera) order so both
+        constructors yield identical problems. No _reduce pass runs:
+        callers pass pre-filtered tables (every track observed >= once by
+        an optimizable camera)."""
+        self = cls.__new__(cls)
+        d = d or {}
+        self.C = None
+        self.pts3d = np.array(pts3d, dtype=np.float64)
+        self.cameras = list(cameras)
+        self.cam_model = cam_model
+        self.pairs_to_triangulate = list(pairs_to_triangulate or [])
+        self.camera_centers = [np.asarray(c) for c in camera_centers]
+
+        self.cam_params_to_optimize = d.get("correction_params", ["R"])
+        self.ref_cam_weight = float(d.get("ref_cam_weight", 1.0))
+        self.n_cam_fix = int(d.get("n_cam_fix", 0))
+        self.n_pts_fix = int(d.get("n_pts_fix", 0))
+        self.verbose = bool(d.get("verbose", False))
+
+        self.n_cam = len(self.cameras)
+        self.n_pts = int(self.pts3d.shape[0])
+        self.n_cam_opt = self.n_cam - self.n_cam_fix
+        self.n_pts_opt = self.n_pts - self.n_pts_fix
+        self.cam_prev_indices = np.arange(self.n_cam)
+        self.pts_prev_indices = np.arange(self.n_pts)
+
+        self.cam_params = np.array(
+            [
+                load_cam_params_from_camera(c, oC, cam_model)
+                for c, oC in zip(self.cameras, self.camera_centers)
+            ]
+        )
+
+        order = np.lexsort((np.asarray(cam_ind), np.asarray(pts_ind)))
+        self.pts_ind = np.asarray(pts_ind, np.int32)[order]
+        self.cam_ind = np.asarray(cam_ind, np.int32)[order]
+        self.pts2d = np.asarray(pts2d, np.float64)[order]
+        self.n_obs = self.pts2d.shape[0]
+        self.pts2d_w = np.ones(self.n_obs)
+        if self.ref_cam_weight > 1.0:
+            self.pts2d_w[self.cam_ind == 0] = self.ref_cam_weight
+
+        self._set_param_layout()
+        return self
 
     def _reduce(self):
         """Drop tracks with no observation in the cameras being optimized,

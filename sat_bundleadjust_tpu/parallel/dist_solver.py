@@ -34,8 +34,19 @@ from sat_bundleadjust_tpu.ops.robust import loss_cost, loss_id
 from sat_bundleadjust_tpu.parallel.mesh import OBS_AXIS, global_put, make_mesh
 
 
-def shard_observations(pts_ind, cam_ind, pts2d, weights, n_pts, n_shards, n_cam=None):
+def shard_observations(pts_ind, cam_ind, pts2d, weights, n_pts, n_shards, n_cam=None,
+                       owned_shards=None):
     """Partition observations by track into n_shards balanced shards.
+
+    owned_shards: optional list of shard indices to BUILD (per-host
+    assembly, SURVEY §5.8): the plan (track->shard assignment, pad sizes,
+    table widths) is computed globally and deterministically on every
+    process, but the padded per-shard operand arrays are materialized
+    only for the given shards — their leading dim is len(owned_shards)
+    and rows follow its order; mesh.global_put_rows turns them into the
+    global sharded jax.Array. Host RSS then scales with the owned share
+    of the observations instead of the whole problem. None = all shards
+    (single-controller runs).
 
     Returns dict of stacked padded arrays with leading dim n_shards; padded
     entries have weight 0 (they contribute exactly zero to residuals and
@@ -88,55 +99,71 @@ def shard_observations(pts_ind, cam_ind, pts2d, weights, n_pts, n_shards, n_cam=
     starts = np.concatenate([[0], np.cumsum(counts_shard)])[:-1]
     slot = np.arange(len(obs_global)) - starts[obs_shard]
 
+    owned = (np.arange(n_shards) if owned_shards is None
+             else np.asarray(owned_shards, np.int64))
+    n_owned = len(owned)
+    pos_of_shard = np.full(n_shards, -1, np.int64)
+    pos_of_shard[owned] = np.arange(n_owned)
+    obs_owned = pos_of_shard[obs_shard] >= 0 if len(obs_global) else np.zeros(0, bool)
+
     def pad(arr, fill, dtype):
-        out = np.full((n_shards, K_pad) + arr.shape[1:], fill, dtype=dtype)
-        out[obs_shard, slot] = arr[obs_global]
+        out = np.full((n_owned, K_pad) + arr.shape[1:], fill, dtype=dtype)
+        out[pos_of_shard[obs_shard[obs_owned]], slot[obs_owned]] = arr[obs_global[obs_owned]]
         return out
 
     # shard-local track renumbering: owned tracks in ascending global id
     if n_cam is None:
         n_cam = int(cam_ind.max()) + 1 if len(cam_ind) else 1
-    owned_order = nz[np.argsort(shard_of_track[nz], kind="stable")]
-    owned_shard = shard_of_track[owned_order]
-    counts_owned = np.bincount(owned_shard, minlength=n_shards)
+    track_order = nz[np.argsort(shard_of_track[nz], kind="stable")]
+    track_shard = shard_of_track[track_order]
+    counts_owned = np.bincount(track_shard, minlength=n_shards)
     L = max(int(counts_owned.max()) if len(nz) else 0, 1)
     starts_owned = np.concatenate([[0], np.cumsum(counts_owned)])[:-1]
-    local_idx = (np.arange(len(owned_order)) - starts_owned[owned_shard]).astype(np.int32)
-    track_global = np.full((n_shards, L), n_pts, np.int32)
-    local_of_global = np.full((n_shards, n_pts), L, np.int32)
-    track_global[owned_shard, local_idx] = owned_order
-    local_of_global[owned_shard, owned_order] = local_idx
+    local_idx = (np.arange(len(track_order)) - starts_owned[track_shard]).astype(np.int32)
+    tsel = pos_of_shard[track_shard] >= 0
+    track_global = np.full((n_owned, L), n_pts, np.int32)
+    local_of_global = np.full((n_owned, n_pts), L, np.int32)
+    track_global[pos_of_shard[track_shard[tsel]], local_idx[tsel]] = track_order[tsel]
+    local_of_global[pos_of_shard[track_shard[tsel]], track_order[tsel]] = local_idx[tsel]
 
-    pts_loc = np.zeros((n_shards, K_pad), np.int32)
+    pts_loc = np.zeros((n_owned, K_pad), np.int32)
     if len(obs_global):
-        pts_loc[obs_shard, slot] = local_of_global[obs_shard, pts_ind[obs_global]]
+        rows = pos_of_shard[obs_shard[obs_owned]]
+        pts_loc[rows, slot[obs_owned]] = local_of_global[
+            rows, pts_ind[obs_global[obs_owned]]]
 
     # per-shard scatter-free segment-sum tables (ops/lm.py): indices refer
     # to LOCAL padded obs positions; the sentinel K_pad addresses the zero
     # row appended by _seg_sum. Built from real observations only so that
-    # segment widths reflect actual track/camera loads, not padding. The
-    # point-side table segments are the LOCAL track ids. (The loop is over
-    # shards only; each body is vectorized.)
-    pt_tables, cam_tables = [], []
-    dual_ok = True
-    for s in range(n_shards):
+    # segment widths reflect actual track/camera loads, not padding; the
+    # widths are GLOBAL maxima (computable from the plan without building
+    # any non-owned table) so every process materializes identically
+    # shaped rows of the same global array. The point-side table segments
+    # are the LOCAL track ids. (The loop is over owned shards only; each
+    # body is vectorized.)
+    T_pt = max(int(track_sizes.max()) if len(pts_ind) else 1, 1)
+    T_cam = max(
+        int(np.bincount(obs_shard * n_cam + cam_ind[obs_global]).max())
+        if len(obs_global) else 1, 1)
+    dual_ok = bool(
+        np.all((counts_shard == 0)
+               | ((L * T_pt <= 4 * counts_shard)
+                  & (n_cam * T_cam <= 4 * counts_shard))))
+    pt_gather = np.full((n_owned, L, T_pt), K_pad, np.int32)
+    cam_gather = np.full((n_owned, n_cam, T_cam), K_pad, np.int32)
+    for s in owned:
         n_s = int(counts_shard[s])
-        loc = pts_loc[s, :n_s]
+        r = pos_of_shard[s]
+        loc = pts_loc[r, :n_s]
         tp = lm_ops.build_gather_segments(loc, L)
         tc = lm_ops.build_gather_segments(cam_ind[obs_global[starts[s] : starts[s] + n_s]], n_cam)
         tp[tp == n_s] = K_pad
         tc[tc == n_s] = K_pad
-        pt_tables.append(tp)
-        cam_tables.append(tc)
-        dual_ok &= n_s == 0 or (tp.size <= 4 * n_s and tc.size <= 4 * n_s)
+        pt_gather[r, :, : tp.shape[1]] = tp
+        cam_gather[r, :, : tc.shape[1]] = tc
 
-    def stack_tables(tables):
-        T = max(t.shape[1] for t in tables)
-        out = np.full((n_shards, tables[0].shape[0], T), K_pad, np.int32)
-        for s, t in enumerate(tables):
-            out[s, :, : t.shape[1]] = t
-        return out
-
+    # full-plan obs->original-row map: host metadata every process keeps
+    # (the per-obs error vectors are allgathered before the scatter-back)
     obs_index = np.full((n_shards, K_pad), -1, np.int64)
     if len(obs_global):
         obs_index[obs_shard, slot] = obs_global
@@ -146,13 +173,15 @@ def shard_observations(pts_ind, cam_ind, pts2d, weights, n_pts, n_shards, n_cam=
         "cam_ind": pad(cam_ind, 0, np.int32),
         "pts2d": pad(pts2d, 0.0, np.float64),
         "weights": pad(weights, 0.0, np.float64),
-        "pt_gather": stack_tables(pt_tables),
-        "cam_gather": stack_tables(cam_tables),
+        "pt_gather": pt_gather,
+        "cam_gather": cam_gather,
         "pts_loc": pts_loc,
         "track_global": track_global,
         "local_of_global": local_of_global,
         "shard_of_track": shard_of_track,
         "obs_index": obs_index,
+        "owned_shards": owned,
+        "n_shards": n_shards,
     }
     if dual_ok:
         # dual padded layouts (ops/lm.LMProblem cam_ind_pt/pts_ind_cam),
@@ -164,7 +193,7 @@ def shard_observations(pts_ind, cam_ind, pts2d, weights, n_pts, n_shards, n_cam=
 
         def batched_gather_values(tables, values, fill):
             # gather_table_values over the stacked shard axis in one shot
-            flat = np.minimum(tables, K_pad - 1).reshape(n_shards, -1)
+            flat = np.minimum(tables, K_pad - 1).reshape(n_owned, -1)
             vals = np.take_along_axis(values, flat, axis=1).reshape(tables.shape)
             return np.where(tables < K_pad, vals, fill).astype(np.int32)
 
@@ -173,7 +202,8 @@ def shard_observations(pts_ind, cam_ind, pts2d, weights, n_pts, n_shards, n_cam=
     return out
 
 
-_HOST_KEYS = ("shard_of_track", "obs_index")  # host-side metadata, not device operands
+# host-side metadata, not device operands
+_HOST_KEYS = ("shard_of_track", "obs_index", "owned_shards", "n_shards")
 
 
 class DistributedLM:
@@ -195,8 +225,16 @@ class DistributedLM:
         repl = NamedSharding(self.mesh, P())
         self.obs_index = np.asarray(sharded["obs_index"])
         self.n_obs = int((self.obs_index >= 0).sum())
+        n_shards = int(sharded.get("n_shards", self.mesh.devices.size))
+        owned = np.asarray(
+            sharded.get("owned_shards", np.arange(n_shards)))
+        # per-host assembly: operand arrays may carry only this process's
+        # shard rows (shard_observations owned_shards); global_put_rows
+        # builds the global sharded jax.Array from them
+        from sat_bundleadjust_tpu.parallel.mesh import global_put_rows
+
         self.obs = {
-            k: global_put(v, shard)
+            k: global_put_rows(v, owned, n_shards, shard)
             for k, v in sharded.items()
             if k not in _HOST_KEYS
         }
@@ -502,8 +540,15 @@ def make_distributed_solver(p, ls_params=None, mesh=None):
         tie_tail=p.n_params_k if getattr(p, "common_k", False) else 0,
     )
     mesh = mesh if mesh is not None else make_mesh()
+    # multi-process: build only this host's shard rows (per-host assembly)
+    owned = None
+    if jax.process_count() > 1:
+        from sat_bundleadjust_tpu.parallel.multihost import local_shard_ids
+
+        owned = local_shard_ids(mesh)
     sharded = shard_observations(
-        p.pts_ind, p.cam_ind, p.pts2d, p.pts2d_w, p.n_pts, mesh.devices.size
+        p.pts_ind, p.cam_ind, p.pts2d, p.pts2d_w, p.n_pts, mesh.devices.size,
+        owned_shards=owned,
     )
     obs_fn = _obs_residual_fn(p.cam_model, p.n_params)
     return DistributedLM(

@@ -66,3 +66,32 @@ def global_put(x, sharding):
     if jax.process_count() == 1:
         return jax.device_put(x, sharding)
     return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+
+def global_put_rows(local_rows, owned, n_shards, sharding):
+    """Materialize a leading-dim-sharded global array from ONLY this
+    process's rows (per-host assembly, SURVEY §5.8).
+
+    local_rows: (len(owned), ...) host data for the shard rows listed in
+    `owned` (global indices, in local_rows order); the global array is
+    (n_shards, ...). Unlike global_put, no process ever holds the full
+    array — host RSS scales with the owned share. Single-process runs
+    (owned == all rows, in order) reduce to a plain sharded device_put."""
+    import jax.numpy as jnp
+
+    local_rows = np.asarray(local_rows)
+    owned = np.asarray(owned)
+    shape = (int(n_shards),) + local_rows.shape[1:]
+    if jax.process_count() == 1 and len(owned) == n_shards and np.array_equal(
+            owned, np.arange(n_shards)):
+        return jax.device_put(jnp.asarray(local_rows), sharding)
+    pos = {int(s): k for k, s in enumerate(owned)}
+
+    def cb(idx):
+        r = idx[0]
+        r0 = 0 if r.start is None else r.start
+        r1 = shape[0] if r.stop is None else r.stop
+        rows = np.stack([local_rows[pos[s]] for s in range(r0, r1)])
+        return rows[(slice(None),) + tuple(idx[1:])]
+
+    return jax.make_array_from_callback(shape, sharding, cb)

@@ -100,14 +100,17 @@ def shard_observations_local(pts_ind, cam_ind, pts2d, weights, n_pts, mesh,
                              n_cam=None):
     """Host-side shard planning for a multi-process run.
 
-    Every process computes the same deterministic partition (the index
-    arrays are small host metadata), but the returned dict is meant to be
-    consumed by parallel/mesh.global_put, which only materializes this
-    process's shards on device. local_ids reports which shard rows those
+    Every process computes the same deterministic partition plan (the
+    index arrays are small host metadata), but only this process's shard
+    rows are MATERIALIZED (shard_observations owned_shards) — host RSS
+    scales with the owned share; parallel/mesh.global_put_rows assembles
+    the global sharded arrays. local_ids reports which shard rows those
     are, so callers can e.g. prefetch only the matching feature files."""
     from sat_bundleadjust_tpu.parallel.dist_solver import shard_observations
 
     n_shards = int(np.prod(mesh.devices.shape))
+    local_ids = local_shard_ids(mesh)
     sharded = shard_observations(pts_ind, cam_ind, pts2d, weights, n_pts,
-                                 n_shards, n_cam=n_cam)
-    return sharded, local_shard_ids(mesh)
+                                 n_shards, n_cam=n_cam,
+                                 owned_shards=local_ids)
+    return sharded, local_ids

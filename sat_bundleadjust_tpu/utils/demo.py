@@ -122,22 +122,32 @@ def make_scene_arrays(n_cam=8, n_pts=2000, obs_per_pt=None, rot_scale=2e-5,
     }
 
 
-def scene_to_baparams(scene, noise_pts=1.0, verbose=False):
+def scene_to_baparams(scene, noise_pts=1.0, verbose=False, dense_c=False):
     """Wrap make_scene_arrays output into a BAParams problem (perturbed
-    starting points)."""
+    starting points). Default: the flat-table constructor
+    (BAParams.from_obs_table) — a dense C matrix is (2M, N) f64 and
+    dominated host RSS at benchmark scale; pass dense_c=True to exercise
+    the C-matrix path (the two yield identical problems, pinned in
+    tests/test_ba_layers.py)."""
     from sat_bundleadjust_tpu.ba.params import BAParams
 
     n_cam = scene["cam_params0"].shape[0]
     n_pts = scene["pts3d"].shape[0]
-    C = np.full((2 * n_cam, n_pts), np.nan)
-    C[2 * scene["cam_ind"], scene["pts_ind"]] = scene["pts2d"][:, 0]
-    C[2 * scene["cam_ind"] + 1, scene["pts_ind"]] = scene["pts2d"][:, 1]
     pairs = [(i, j) for i in range(n_cam) for j in range(i + 1, n_cam)]
     rng = np.random.RandomState(1)
     pts0 = scene["pts3d"] + noise_pts * rng.randn(n_pts, 3)
-    return BAParams(
-        C, pts0, scene["rpc_list"], "rpc", pairs,
-        [c for c in scene["camera_centers"]], {"verbose": verbose},
+    if dense_c:
+        C = np.full((2 * n_cam, n_pts), np.nan)
+        C[2 * scene["cam_ind"], scene["pts_ind"]] = scene["pts2d"][:, 0]
+        C[2 * scene["cam_ind"] + 1, scene["pts_ind"]] = scene["pts2d"][:, 1]
+        return BAParams(
+            C, pts0, scene["rpc_list"], "rpc", pairs,
+            [c for c in scene["camera_centers"]], {"verbose": verbose},
+        )
+    return BAParams.from_obs_table(
+        scene["pts_ind"], scene["cam_ind"], scene["pts2d"], pts0,
+        scene["rpc_list"], "rpc", [c for c in scene["camera_centers"]],
+        pairs, {"verbose": verbose},
     )
 
 
