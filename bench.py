@@ -297,6 +297,53 @@ def main():
 
     schur_mode = os.environ.get("SATBA_BENCH_SCHUR", "cg")
     solver = BASolver(p, schur_mode=schur_mode)
+
+    if platform == "tpu":
+        # pin on-chip parity of the fused Pallas Schur matvec against the
+        # XLA dual-layout operator AND the f64-accumulated twin on every
+        # bench run (the int8-matcher precedent): a Mosaic/axon regression
+        # in the split/slice bit tricks — or a reduced-precision operand
+        # fold, the round-5 root cause — fails the bench loudly instead of
+        # silently degrading CG
+        from sat_bundleadjust_tpu.ops import lm as lm_ops
+        from sat_bundleadjust_tpu.ops import pallas_matvec as pmv
+        from sat_bundleadjust_tpu.ops import smallmat as sm
+        import jax.numpy as jnp
+
+        prob = solver.prob
+        if prob.pt_gather.shape[1] <= pmv.MAX_TP and prob.cam_ind_pt is not None:
+            cam0 = jnp.asarray(p.opt_block())
+            pts0 = jnp.asarray(p.pts3d)
+            r, J_cam, J_pt = solver.jac_fn(cam0, pts0)
+            cfg = lm_ops.LMConfig(schur_mode="cg")
+            _, _, _, U, V, W = lm_ops._normal_blocks(
+                r, J_cam, J_pt, prob, p.n_cam, p.n_pts, cfg)
+            Vinv = lm_ops._inv3x3(lm_ops._damp(V, 1e-4)).astype(jnp.float32)
+            W = W.astype(jnp.float32)
+            Wh, c, meta = pmv.build_wh_operands(W, Vinv, prob, p.n_cam)
+            rng = np.random.default_rng(0)
+            x = jnp.asarray(rng.normal(size=(p.n_cam, p.n_params)), jnp.float32)
+            wz_pal = np.asarray(pmv.schur_wz(x, Wh, c, meta))
+            wz_f64 = np.asarray(pmv.schur_wz_twin(x, Wh, c, meta, accum="f64"))
+            W_pad = jnp.concatenate([W, jnp.zeros((1, p.n_params, 3), W.dtype)])
+            Lc = sm.chol3x3(0.5 * (Vinv + jnp.swapaxes(Vinv, -1, -2)))
+            W_pt = sm.mm(W_pad[prob.pt_gather], Lc[:, None])
+            Lc_pad = jnp.concatenate([Lc, jnp.zeros((1, 3, 3), Lc.dtype)])
+            W_cm = sm.mm(W_pad[prob.cam_gather], Lc_pad[prob.pts_ind_cam])
+            xg = jnp.concatenate([x, jnp.zeros((1, p.n_params), x.dtype)])[
+                prob.cam_ind_pt]
+            what = jnp.sum(sm.mtv(W_pt, xg), axis=1)
+            whg = jnp.concatenate([what, jnp.zeros((1, 3), what.dtype)])[
+                prob.pts_ind_cam]
+            wz_aos = np.asarray(jnp.sum(sm.mv(W_cm, whg), axis=1))
+            scale = max(np.abs(wz_f64).max(), 1e-30)
+            err_f64 = np.abs(wz_pal - wz_f64).max() / scale
+            err_aos = np.abs(wz_pal - wz_aos).max() / scale
+            print("pallas matvec on-chip parity: vs f64 twin {:.2e}, "
+                  "vs aos {:.2e}".format(err_f64, err_aos), file=sys.stderr)
+            assert err_f64 <= 2e-6, err_f64
+            assert err_aos <= 5e-5, err_aos
+
     # warmup + compile (same compiled program as the timed run)
     solver.solve({"max_iter": 2})
 

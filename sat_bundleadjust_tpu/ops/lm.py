@@ -121,11 +121,14 @@ class LMConfig(NamedTuple):
     # and an indefinite additive term DIVERGES the whole CG (measured at
     # 64 clusters) — the guard drops the coarse level for that step.
     cg_coarse_k: int = 1
-    # CG matvec implementation: "aos" = the dual-layout XLA matvec
-    # (default; "auto" currently resolves to it — see _cg_schur_solve);
-    # "pallas" = the fused one-hot kernel (ops/pallas_matvec), 4.3x per
-    # matvec but with a measured late-LM CG quality penalty at 1000-cam
-    # conditioning.
+    # CG matvec implementation: "auto" (default) resolves to the fused
+    # one-hot Pallas kernel ("pallas", ops/pallas_matvec) on TPU when the
+    # track-major slot width allows, and to the dual-layout XLA matvec
+    # ("aos") elsewhere. Since the round-5 wide-accumulator rework the
+    # kernel reaches the same optimum as the XLA matvec (0.098 px at
+    # 1000 cams) at ~1.8x lower per-iteration wall on the v5e.
+    # "twin_pm" / "twin_f64" / "twin_slice" are pure-jnp numerical twins
+    # for CPU tests (pallas_matvec.schur_wz_twin).
     matvec: str = "auto"
     # COMMON_K (reference: ba_params.py:167-171): number of TRAILING
     # per-camera parameters tied to one shared value across all
@@ -412,15 +415,20 @@ def _cg_schur_solve(U_d, W, Vinv, b, prob: LMProblem, n_cam, cam_opt_mask, cg_it
 
         from sat_bundleadjust_tpu.ops import pallas_matvec as pmv
 
-        # "auto" resolves to the XLA matvec: the fused kernel is 4.3x
-        # faster per matvec (0.89 vs 4.3 ms at 1000 cams) and passes
-        # f32-level parity everywhere, but its point-major summation
-        # order measurably degrades LATE-LM CG at 1000-cam conditioning
-        # (solve stalls at 0.46 px where the slot-major order reaches
-        # 0.098 px; the pure-jnp twin reproduces it, so it is the
-        # algebra's rounding structure, not the kernel). Opt in with
-        # matvec="pallas" where early-LM throughput dominates.
+        # "auto" resolves to the fused Pallas kernel on TPU (round 5: the
+        # wide-accumulator camera-side reduction + exact truncating x
+        # splits + full-f32 operand fold reach the same 0.098 px optimum
+        # as the XLA matvec at the 1000-cam scale, at 1.8x lower
+        # per-iteration wall — 5.5 vs 7.8 s solves on the v5e); other
+        # backends keep the XLA dual-layout matvec (the kernel needs
+        # Mosaic — interpret mode is for tests).
         pallas_ok = prob.pt_gather.shape[1] <= pmv.MAX_TP
+        if matvec_impl == "auto":
+            matvec_impl = (
+                "pallas"
+                if pallas_ok and jax.default_backend() == "tpu"
+                else "aos"
+            )
         if matvec_impl == "pallas" and not pallas_ok:
             import warnings
 
