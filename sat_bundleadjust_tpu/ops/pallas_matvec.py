@@ -87,7 +87,14 @@ def build_wh_operands(W, Vinv, prob, n_cam, block_pts=None):
         0.5 * (Vinv + jnp.swapaxes(Vinv, -1, -2))).astype(jnp.float32)
     W_pad = jnp.concatenate([W.astype(jnp.float32),
                              jnp.zeros((1, P, 3), jnp.float32)])
-    Wh_pt = jnp.einsum("ntpi,nij->ntpj", W_pad[prob.pt_gather], Lc)  # (N,Tp,P,3)
+    # the V^-1/2 fold MUST go through the unrolled smallmat multiply-adds
+    # (full-f32 VPU), exactly like the aos path: a jnp.einsum here lowers
+    # to an MXU dot at XLA's DEFAULT (bf16-pass) precision on TPU, which
+    # perturbs What at ~2^-8 — the "bf16 What makes the damped S
+    # indefinite" failure of round 4 (BENCHMARKS.md), re-measured in round
+    # 5 as the kernel solve stalling at 0.19 px while every CPU twin (f32
+    # einsum) converged to the 0.098 px optimum
+    Wh_pt = sm.mm(W_pad[prob.pt_gather], Lc[:, None])  # (N,Tp,P,3)
     Wh_soa = jnp.zeros((P * 3, Kp), jnp.float32)
     Wh_soa = Wh_soa.at[:, : N * Tp].set(
         Wh_pt.reshape(N * Tp, P * 3).T  # row-major (p, j) -> row p*3+j
@@ -114,15 +121,32 @@ def _round_bf16_grid(v):
     return jax.lax.bitcast_convert_type(u, jnp.float32)
 
 
+def _trunc_bf16_grid(v):
+    """Truncate f32 toward zero onto the bf16 grid (mask the low 16
+    mantissa bits; no carry). Like _round_bf16_grid this is real integer
+    arithmetic that --xla_allow_excess_precision cannot elide."""
+    u = jax.lax.bitcast_convert_type(v, jnp.uint32)
+    return jax.lax.bitcast_convert_type(u & jnp.uint32(0xFFFF0000), jnp.float32)
+
+
 def _split3(v, dtype=jnp.bfloat16):
-    """SPLIT exact bf16 terms summing to v (~2^-8 per extra term; 3 is
-    f32-roundoff level). The final casts are exact: the values already
-    sit on the bf16 grid."""
+    """SPLIT bf16 terms summing to v via TRUNCATING grid splits.
+
+    With truncation (not RNE) and SPLIT=3 the decomposition of an f32 is
+    BIT-EXACT: each term keeps the next 8 mantissa bits (both
+    subtractions are exact — the operands share a common ulp), the third
+    remainder holds the final <=8 bits and is itself on the bf16 grid,
+    and the f32 recombination t1+t2+t3 is exact in any order because
+    every partial sum is representable. An RNE-split (round 4) left a
+    ~2^-25 per-value residual on the Krylov vector, which late-LM CG at
+    1000-cam conditioning measurably amplified (0.19 px stall vs the
+    0.098 px optimum on the real chip, round 5). The final casts are
+    exact: the values already sit on the bf16 grid."""
     v = v.astype(jnp.float32)
     terms = []
     rem = v
-    for _ in range(SPLIT):
-        t = _round_bf16_grid(rem)
+    for i in range(SPLIT):
+        t = rem if i == SPLIT - 1 else _trunc_bf16_grid(rem)
         terms.append(t.astype(dtype))
         rem = rem - t
     return tuple(terms)
@@ -291,8 +315,14 @@ def _fixedpoint_ulp(m, bits_down=7):
     mb = jax.lax.bitcast_convert_type(m.astype(jnp.float32), jnp.uint32)
     e = jax.lax.shift_right_logical(mb, jnp.uint32(23)) & jnp.uint32(0xFF)
     # u = 2^(e - 127 + 1 - bits_down); clamp so the exponent field stays
-    # in (0, 255) (no denormals/infs)
-    eu = jnp.clip(e.astype(jnp.int32) + 1 - bits_down, 1, 254)
+    # in (0, 255) (no denormals/infs). Explicit int32 constants: under
+    # jax_enable_x64 a Python int traces as i64, which Mosaic's lowering
+    # cannot legalize (observed as a RecursionError at pallas_call
+    # lowering on the real chip)
+    eu = jnp.minimum(
+        jnp.maximum(e.astype(jnp.int32) + jnp.int32(1 - bits_down),
+                    jnp.int32(1)),
+        jnp.int32(254))
     return jax.lax.bitcast_convert_type(
         jax.lax.shift_left(eu.astype(jnp.uint32), jnp.uint32(23)), jnp.float32)
 
@@ -338,6 +368,12 @@ def schur_wz_twin(x, Wh_soa, c_flat, meta, accum="slice", block_pts=None,
     c = c_flat.reshape(-1)
     Wh = Wh_soa.T.reshape(Kp, P, 3)
     xpad = jnp.concatenate([x.astype(jnp.float32), jnp.zeros((1, P), jnp.float32)])
+    if accum.endswith("+xsplit"):
+        # simulate crossing 1's value-relative bf16 SPLIT-term transport
+        # of x (the kernel's only remaining non-f32-exact stage): x is
+        # rounded to the sum of SPLIT bf16 terms, recombined in f32
+        accum = accum[: -len("+xsplit")]
+        xpad = sum(t.astype(jnp.float32) for t in _split3(xpad))
     xg = xpad[jnp.minimum(c, M)]
     wtx = jnp.einsum("kpj,kp->kj", Wh, xg)
     what = jnp.sum(wtx.reshape(Np, Tp, 3), axis=1)

@@ -325,6 +325,9 @@ def _finalize_pair_from_nn(fi, fj, idx_i, idx_j, nn_idx, accepted, utm_i, utm_j,
     return matches_ij
 
 
+_FINALIZE_TIMING = {}
+
+
 def _finalize_pairs_from_nn_batched(items, nn_results, tracks_config):
     """Batched finalize of many pairs: identical semantics to
     _finalize_pair_from_nn per pair, but the RANSAC runs vectorized
@@ -337,6 +340,7 @@ def _finalize_pairs_from_nn_batched(items, nn_results, tracks_config):
     from sat_bundleadjust_tpu.ops.ransac import MIN_SAMPLES, ransac_fundamental_many
 
     thr = tracks_config["FT_ransac"]
+    t0 = time.time()
     prelim = []
     pts1_list, pts2_list, ransac_pos = [], [], []
     for pos, ((_idx, fi, fj, *_rest), (nn, acc)) in enumerate(zip(items, nn_results)):
@@ -347,7 +351,9 @@ def _finalize_pairs_from_nn_batched(items, nn_results, tracks_config):
             pts1_list.append(fi[m[:, 0], :2])
             pts2_list.append(fj[m[:, 1], :2])
             ransac_pos.append(pos)
+    _FINALIZE_TIMING["collect_s"] = _FINALIZE_TIMING.get("collect_s", 0.0) + time.time() - t0
 
+    t0 = time.time()
     if pts1_list:
         for pos, (_F, inl) in zip(
             ransac_pos, ransac_fundamental_many(pts1_list, pts2_list, thr=thr)
@@ -356,7 +362,9 @@ def _finalize_pairs_from_nn_batched(items, nn_results, tracks_config):
                 prelim[pos] = None
             else:
                 prelim[pos] = prelim[pos][inl]
+    _FINALIZE_TIMING["ransac_s"] = _FINALIZE_TIMING.get("ransac_s", 0.0) + time.time() - t0
 
+    t0 = time.time()
     results = []
     for pos, (_idx, _fi, _fj, idx_i, idx_j, utm_i, utm_j) in enumerate(items):
         m = prelim[pos]
@@ -366,6 +374,7 @@ def _finalize_pairs_from_nn_batched(items, nn_results, tracks_config):
         matches_ij = np.stack([idx_i[m[:, 0]], idx_j[m[:, 1]]], axis=1)
         matches_ij = filter_matches_inconsistent_utm_coords(matches_ij, utm_i, utm_j)
         results.append(matches_ij)
+    _FINALIZE_TIMING["utm_s"] = _FINALIZE_TIMING.get("utm_s", 0.0) + time.time() - t0
     return results
 
 
@@ -653,11 +662,16 @@ def match_stereo_pairs(pairs_to_match, features, footprints, utm_coords, tracks_
     if _TIMING_ON:
         print(
             "[match timing] cache/bbox {:.1f}s (poly {:.1f}s, feat io {:.1f}s) | "
-            "2-NN device {:.1f}s | finalize (RANSAC+UTM) {:.1f}s | "
+            "2-NN device {:.1f}s | finalize (RANSAC+UTM) {:.1f}s "
+            "(collect {:.1f}s, ransac {:.1f}s, utm {:.1f}s) | "
             "assemble+write {:.1f}s".format(
                 _timing["prep_s"], _timing.get("prep_poly_s", 0.0),
                 _timing.get("prep_io_s", 0.0), _timing["nn_s"],
-                _timing["finalize_s"], _timing["assemble_s"],
+                _timing["finalize_s"],
+                _FINALIZE_TIMING.get("collect_s", 0.0),
+                _FINALIZE_TIMING.get("ransac_s", 0.0),
+                _FINALIZE_TIMING.get("utm_s", 0.0),
+                _timing["assemble_s"],
             ),
             flush=True,
         )
