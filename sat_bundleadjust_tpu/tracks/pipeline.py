@@ -143,7 +143,11 @@ class FeatureTracksPipeline:
             # one vmapped device call for every pair's virtual-match grid
             # (the per-pair loop costs ~0.3-0.5 s dispatch overhead each —
             # minutes at hundreds of pairs; see init_F_pairs_batched)
+            t_f = timeit.default_timer()
             F = ft_matching.init_F_pairs_batched(self.pairs_to_match, self.images)
+            if ft_matching._TIMING_ON:
+                flush_print("[match timing] epipolar F init: {:.1f}s".format(
+                    timeit.default_timer() - t_f))
         else:
             F = None
         self.pairwise_matches = ft_matching.match_stereo_pairs(
