@@ -92,6 +92,14 @@ def make_fns(p, jac_dtype=None):
 
     obs_fn = _obs_residual_fn(cam_model, n_params)
 
+    # The observation tables / RPC coefficients enter the traced programs
+    # as ARGUMENTS (a consts pytree), never as closure constants: closure
+    # arrays get EMBEDDED in the compiled executable, which at config-#4
+    # scale (500k obs) made the cached LM-solve executable 157 MB —
+    # shipping it to the tunneled device cost ~90 s per fresh process even
+    # on a persistent-cache HIT (round-5 probe). build_solve threads the
+    # same pytree through the full LM loop via the `raw`/`consts`
+    # attributes attached below.
     if cam_model == "rpc":
         # closed-form chain-rule Jacobians over the transcendental-free
         # geodetic chain (ops/jacobians.py + ops/fastgeo.py): ~2-3x the cost
@@ -103,42 +111,57 @@ def make_fns(p, jac_dtype=None):
             residuals_rpc,
         )
 
-        rpcs_full = p.rpcs
+        rpcs_full = jax.tree.map(jnp.asarray, p.rpcs)
         anchors = {k: jnp.asarray(v) for k, v in anchors_from_rpcs(p.rpcs).items()}
+        consts = dict(cam_tail=cam_tail, pts_ind=pts_ind, cam_ind=cam_ind,
+                      pts2d=pts2d, w=w, rpcs=rpcs_full, anchors=anchors)
 
-        @jax.jit
-        def residual_fn(cam_opt, pts3d):
-            full_cam = jnp.concatenate([cam_opt, cam_tail], axis=1)
+        def residual_raw(cam_opt, pts3d, C):
+            full_cam = jnp.concatenate([cam_opt, C["cam_tail"]], axis=1)
             return residuals_rpc(
-                pts3d, rpcs_full, full_cam, pts_ind, cam_ind, pts2d, w, anchors
+                pts3d, C["rpcs"], full_cam, C["pts_ind"], C["cam_ind"],
+                C["pts2d"], C["w"], C["anchors"]
             )
 
-        @jax.jit
-        def jac_fn(cam_opt, pts3d):
-            full_cam = jnp.concatenate([cam_opt, cam_tail], axis=1)
+        def jac_raw(cam_opt, pts3d, C):
+            full_cam = jnp.concatenate([cam_opt, C["cam_tail"]], axis=1)
             return residuals_and_jacobians_rpc(
-                pts3d, rpcs_full, full_cam, pts_ind, cam_ind, pts2d, w, n_params,
-                anchors, jac_dtype=jac_dtype,
+                pts3d, C["rpcs"], full_cam, C["pts_ind"], C["cam_ind"],
+                C["pts2d"], C["w"], n_params, C["anchors"], jac_dtype=jac_dtype,
             )
 
     else:
+        consts = dict(cam_tail=cam_tail, pts_ind=pts_ind, cam_ind=cam_ind,
+                      pts2d=pts2d, w=w, rpcs=rpcs_k)
 
-        @jax.jit
-        def residual_fn(cam_opt, pts3d):
+        def residual_raw(cam_opt, pts3d, C):
             return jax.vmap(obs_fn)(
-                cam_opt[cam_ind], pts3d[pts_ind], cam_tail[cam_ind], rpcs_k, pts2d, w
+                cam_opt[C["cam_ind"]], pts3d[C["pts_ind"]],
+                C["cam_tail"][C["cam_ind"]], C["rpcs"], C["pts2d"], C["w"]
             )
 
         jac_single = jax.jacfwd(obs_fn, argnums=(0, 1))
 
-        @jax.jit
-        def jac_fn(cam_opt, pts3d):
-            r = residual_fn(cam_opt, pts3d)
+        def jac_raw(cam_opt, pts3d, C):
+            r = residual_raw(cam_opt, pts3d, C)
             J_cam, J_pt = jax.vmap(jac_single)(
-                cam_opt[cam_ind], pts3d[pts_ind], cam_tail[cam_ind], rpcs_k, pts2d, w
+                cam_opt[C["cam_ind"]], pts3d[C["pts_ind"]],
+                C["cam_tail"][C["cam_ind"]], C["rpcs"], C["pts2d"], C["w"]
             )
             return r, J_cam, J_pt
 
+    _jit_residual = jax.jit(residual_raw)
+    _jit_jac = jax.jit(jac_raw)
+
+    def residual_fn(cam_opt, pts3d):
+        return _jit_residual(cam_opt, pts3d, consts)
+
+    def jac_fn(cam_opt, pts3d):
+        return _jit_jac(cam_opt, pts3d, consts)
+
+    residual_fn.raw = residual_raw
+    jac_fn.raw = jac_raw
+    residual_fn.consts = jac_fn.consts = consts
     return residual_fn, jac_fn
 
 

@@ -746,11 +746,25 @@ def build_solve(residual_fn, jac_fn, n_cam, n_pts, prob: LMProblem, cfg: LMConfi
 
     n_obs = int(prob.pts2d.shape[0])
 
-    @jax.jit
-    def run(cam, pts, max_iter, lid, f_scale):
+    # Operand plumbing: when the fns expose their 3-arg form + consts
+    # pytree (ba/solver.make_fns), the observation tables, RPC
+    # coefficients AND the LMProblem arrays all enter the traced program
+    # as ARGUMENTS. Closure arrays would be embedded in the executable as
+    # constants — at 500k observations that made the cached executable
+    # 157 MB, and shipping it to the tunneled device cost ~90 s per fresh
+    # process even on a persistent-cache hit (round-5 probe); as
+    # arguments the executable is small and the operands move once at
+    # device_put time.
+    raw_res = getattr(residual_fn, "raw", None)
+    raw_jac = getattr(jac_fn, "raw", None)
+    consts = getattr(residual_fn, "consts", None)
+    operand_mode = raw_res is not None and raw_jac is not None and consts is not None
+
+    def _run_body(res_f, jac_f, prob, cam, pts, max_iter, lid, f_scale):
         def cost_of(r):
             return loss_cost(lid, r, f_scale)
 
+        residual_fn, jac_fn = res_f, jac_f
         r0 = residual_fn(cam, pts)
         cost0 = cost_of(r0)
         # absolute floor: cost is in squared (weighted) pixels; 1e-14 px^2
@@ -819,6 +833,24 @@ def build_solve(residual_fn, jac_fn, n_cam, n_pts, prob: LMProblem, cfg: LMConfi
         )
         errs = jnp.stack([err0, err_fin])
         return cam, pts, scalars, errs
+
+    if operand_mode:
+        @partial(jax.jit, static_argnums=())
+        def run_inner(cam, pts, max_iter, lid, f_scale, prob_t, consts_t):
+            return _run_body(
+                lambda c, p: raw_res(c, p, consts_t),
+                lambda c, p: raw_jac(c, p, consts_t),
+                prob_t, cam, pts, max_iter, lid, f_scale,
+            )
+
+        def run(cam, pts, max_iter, lid, f_scale):
+            return run_inner(cam, pts, max_iter, lid, f_scale, prob, consts)
+
+    else:
+        @jax.jit
+        def run(cam, pts, max_iter, lid, f_scale):
+            return _run_body(residual_fn, jac_fn, prob, cam, pts, max_iter,
+                             lid, f_scale)
 
     return run
 

@@ -230,23 +230,19 @@ def init_F_pair_to_match(h, w, rpc_i, rpc_j):
 
 
 def init_F_pairs_batched(pairs_to_match, images):
-    """Affine fundamental matrices for EVERY pair in one vmapped device
-    call (plus a trivial per-pair numpy SVD).
+    """Affine fundamental matrices for every pair, host-side and batched.
 
-    The per-pair init_F_pair_to_match loop costs ~0.3-0.5 s of dispatch
-    overhead per pair — ~8 minutes before matching even starts on a
-    100-view scene's 1350 pairs (found by the round-3 config-#4 scale
-    run). The virtual-match grids (5^3 points per pair,
-    s2p/rpc_utils.matches_from_rpc) batch over a leading pair axis
-    instead. Reference counterpart: ft_pipeline.py:139-152."""
-    import jax
-    import jax.numpy as jnp
-
-    from sat_bundleadjust_tpu.models.rpc import (
-        rpc_localization, rpc_projection, stack_rpcs,
-    )
-    from sat_bundleadjust_tpu.utils.hostdev import small_compute
-
+    History of this stage at the 1350-pair config-#4 scale: the round-1
+    per-pair init_F_pair_to_match device loop cost ~0.3-0.5 s of dispatch
+    overhead per pair (~8 minutes); the rounds-3/4 batched device version
+    still measured 47 s WARM (tunneled-device call overheads on ~30
+    stacked f64 pytree operands — not compute: the whole job is 125
+    virtual-match points per unique image). Round 5 moved it onto the
+    numpy twins of the RPC chain: localization once per unique FIRST
+    image, one per-pair second projection, one batched SVD — well under a
+    second end to end. Reference counterpart: ft_pipeline.py:139-152 +
+    s2p/rpc_utils.matches_from_rpc (5^3 grids) +
+    s2p/estimation.affine_fundamental_matrix."""
     from sat_bundleadjust_tpu.models.cameras import generate_point_mesh
 
     n = 5
@@ -268,24 +264,27 @@ def init_F_pairs_batched(pairs_to_match, images):
             [(1.0 / (2 * n)) * h, ((2 * n - 1.0) / (2 * n)) * h, n],
             [alt_off - alt_sc, alt_off + alt_sc, n],
         )
-    cols = np.stack([mesh_of[i][0] for (i, _) in pairs_to_match])
-    rows = np.stack([mesh_of[i][1] for (i, _) in pairs_to_match])
-    alts = np.stack([mesh_of[i][2] for (i, _) in pairs_to_match])
+    # the virtual-match geometry is tiny (125 points per unique image) and
+    # runs entirely through the numpy twins: the vmapped device version of
+    # rounds 3-4 measured 47 s WARM at 1350 pairs on the tunneled chip
+    # (dominated by device-call overheads on ~30 stacked f64 pytree
+    # operands, not compute), where the host twins take well under a
+    # second. Localization depends only on the pair's FIRST image, so it
+    # runs once per unique image; only the second projection is per-pair.
+    from sat_bundleadjust_tpu.models.rpc import rpc_localization_np, rpc_projection_np
 
-    rpcs_i = stack_rpcs([images[i].rpc for (i, _) in pairs_to_match])
-    rpcs_j = stack_rpcs([images[j].rpc for (_, j) in pairs_to_match])
-
-    def one(ri, rj, c, r, a):
-        lon, lat = rpc_localization(ri, c, r, a)
-        x1, y1 = rpc_projection(ri, lon, lat, a)
-        x2, y2 = rpc_projection(rj, lon, lat, a)
-        return x1, y1, x2, y2
-
-    with small_compute():
-        x1, y1, x2, y2 = jax.jit(jax.vmap(one))(
-            rpcs_i, rpcs_j, jnp.asarray(cols), jnp.asarray(rows), jnp.asarray(alts)
-        )
-    x1, y1, x2, y2 = (np.asarray(v) for v in (x1, y1, x2, y2))
+    geom_of = {}
+    for i, (c, r, a) in mesh_of.items():
+        lon, lat = rpc_localization_np(images[i].rpc, c, r, a)
+        px, py = rpc_projection_np(images[i].rpc, lon, lat, a)
+        geom_of[i] = (lon, lat, a, px, py)
+    x1 = np.stack([geom_of[i][3] for (i, _) in pairs_to_match])
+    y1 = np.stack([geom_of[i][4] for (i, _) in pairs_to_match])
+    x2 = np.empty_like(x1)
+    y2 = np.empty_like(y1)
+    for k, (i, j) in enumerate(pairs_to_match):
+        lon, lat, a, _, _ = geom_of[i]
+        x2[k], y2[k] = rpc_projection_np(images[j].rpc, lon, lat, a)
     # Gold Standard affine F per pair, batched: one (P, 125, 4) SVD call
     # instead of P sequential host SVDs
     X = np.stack([x2, y2, x1, y1], axis=2)  # (P, 125, 4), reference col order
