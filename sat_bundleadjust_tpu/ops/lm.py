@@ -577,8 +577,12 @@ def _cg_schur_solve(U_d, W, Vinv, b, prob: LMProblem, n_cam, cam_opt_mask, cg_it
         pv = proj(v)
         out = sm.mv(prec, pv)
         if coarse:
-            vc = (Zg.T @ pv).reshape(-1)  # Z^T v, (G*P,)
-            out = out + Zg @ (Einv @ vc).reshape(G, P)
+            # full-f32 matmuls (default MXU precision is bf16-pass)
+            hi = jax.lax.Precision.HIGHEST
+            vc = jnp.matmul(Zg.T, pv, precision=hi).reshape(-1)  # Z^T v
+            out = out + jnp.matmul(
+                Zg, jnp.matmul(Einv, vc, precision=hi).reshape(G, P),
+                precision=hi)
         return proj(out * m + v * (1.0 - m))
 
     b = proj(b * m)
@@ -644,6 +648,14 @@ def coarse_schur_E(U_d, W, Vinv, prob: LMProblem, m, n_pts, W_pt=None,
     m = m.reshape(-1, 1)
     groups = jnp.minimum(jnp.arange(M) * G // M, G - 1)
     Zg = (groups[:, None] == jnp.arange(G)[None, :]).astype(U_d.dtype) * m
+    # Precision note (round-5 measured): XLA-TPU contracts f32 einsums on
+    # the MXU at DEFAULT (bf16-pass) precision. For the coarse operator E
+    # that is an acceptable trade — forcing precision=HIGHEST on the two
+    # N-sized contractions below cut the 1000-cam LM iteration count
+    # 28 -> 20 but added ~0.17 s of per-LM-step E-build cost, a net LOSS
+    # (7.25 vs 5.47 s solves). A preconditioner may be sloppy; only the
+    # CG OPERATOR itself must be exact (pallas_matvec / the smallmat W
+    # fold). The tiny G*P-sized apply matmuls run at HIGHEST for free.
     if W_pt is not None:
         # W_pt is the FOLDED What = W L layout: E_bot = Whsum Whsum^T
         Zg_pad = jnp.concatenate([Zg, jnp.zeros((1, G), Zg.dtype)])

@@ -27,9 +27,15 @@ import sys
 import time
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# 8 virtual devices share 4 host cores: a partitioned detection program's
+# slowest partition can exceed XLA:CPU's default 40 s collective
+# rendezvous termination deadline (observed: AllGatherThunk killing the
+# process mid-detection) — raise it, this is a correctness bench
+_EXTRA_FLAGS = (" --xla_force_host_platform_device_count=8"
+                " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
 if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
     os.environ["XLA_FLAGS"] = (
-        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+        os.environ.get("XLA_FLAGS", "") + _EXTRA_FLAGS
     ).strip()
 
 HERE = os.path.dirname(os.path.abspath(__file__))
@@ -83,7 +89,10 @@ def run_inproc(cfg_path, n_devices=8):
     """Run the pipeline in a SUBPROCESS (clean device/mesh state per
     configuration) and return its stdout."""
     env = dict(os.environ)
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count={}".format(n_devices)
+    env["XLA_FLAGS"] = (
+        "--xla_force_host_platform_device_count={}"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+    ).format(n_devices)
     p = subprocess.run(
         [sys.executable, "-c",
          "import sat_bundleadjust_tpu; sat_bundleadjust_tpu.main({!r})".format(cfg_path)],
@@ -105,7 +114,8 @@ def free_port():
 
 def run_two_process(cfg_path):
     env = dict(os.environ)
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["XLA_FLAGS"] = ("--xla_force_host_platform_device_count=4"
+                        " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
     for k in list(env):
         if "AXON" in k:
             env.pop(k)
@@ -139,12 +149,15 @@ def main():
     if not os.path.isdir(img_dir) or not os.listdir(img_dir):
         render_scene(root, n_dates=10, views_per_date=views, h=512, w=512)
 
+    wanted = set(sys.argv[2:]) or {"single", "mesh8", "proc2"}
     results = {}
     for name, runner, dist in (
         ("single", lambda c: run_inproc(c, n_devices=1), False),
         ("mesh8", run_inproc, True),
         ("proc2", run_two_process, True),
     ):
+        if name not in wanted:
+            continue
         cfg_path, out_dir = write_cfg(root, img_dir, name, dist)
         t0 = time.time()
         out = runner(cfg_path)
