@@ -468,6 +468,14 @@ class DistributedLM:
         reuse this instance's single compiled program."""
         round_cfg = cfg or self.cfg
         lid, fs = self._loss_operands(round_cfg)
+        if jax.process_count() > 1:
+            # processes can arrive here minutes apart (per-host pipeline
+            # stages on contended hosts); the first cross-process
+            # collective initializes Gloo with a hard 30 s key-exchange
+            # deadline, so sync through the coordination service first
+            from sat_bundleadjust_tpu.parallel import multihost
+
+            multihost.barrier("dist_solve")
         cam = global_put(cam0, self.repl)
         pts = global_put(pts0, self.repl)
         cam, pts, scalars, errs = self._solve(
